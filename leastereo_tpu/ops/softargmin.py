@@ -1,0 +1,76 @@
+"""Disparity regression head: trilinear upsample + softmin + soft-argmin.
+
+Reference semantics (``models/build_model_2d.py:27-57``): the 1-channel
+matching cost ``(B, 1, D, h, w)`` is trilinearly upsampled with
+``align_corners=False`` to ``(B, maxdisp, 3h, 3w)``, softmin'd over the
+disparity axis, and reduced to the expectation ``sum_d d * p(d)``.
+
+Two modes:
+
+* ``soft_argmin`` — exact parity; materialises the upsampled volume once
+  (kept in the compute dtype, softmax math in fp32).
+* ``soft_argmin_fast`` — TPU-fast reordering: softmin + expectation at 1/3
+  resolution first, then a bilinear 3x spatial upsample of the 1-channel
+  disparity map (scaled by 3 to account for the disparity-axis upsample).
+  Mathematically different from parity mode (documented in SURVEY.md §7
+  "hard parts" #2) — used for high-throughput serving.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .resize import interp_matrix, resize2d
+
+__all__ = ["soft_argmin", "soft_argmin_fast"]
+
+
+def _upsample_d(cost: jnp.ndarray, maxdisp: int) -> jnp.ndarray:
+    """Upsample the leading disparity axis (B, D, h, w) -> (B, maxdisp, h, w)."""
+    m = jnp.asarray(interp_matrix(cost.shape[1], maxdisp, align_corners=False), cost.dtype)
+    return jnp.einsum("bdhw,ed->behw", cost, m, precision=jax.lax.Precision.HIGHEST)
+
+
+def soft_argmin(cost: jnp.ndarray, maxdisp: int) -> jnp.ndarray:
+    """Exact-parity disparity regression.
+
+    Args:
+      cost: ``(B, D, h, w, 1)`` NDHWC matching-net output (D = maxdisp//3).
+      maxdisp: full-resolution disparity count.
+
+    Returns:
+      ``(B, 3h, 3w)`` disparity map, parity with reference ``Disp.forward``
+      (``models/build_model_2d.py:52-57``).
+    """
+    b, d, h, w, _ = cost.shape
+    x = cost[..., 0]  # (B, D, h, w)
+    # Trilinear upsample, align_corners=False (separable per-axis matmuls).
+    x = _upsample_d(x, maxdisp)  # (B, maxdisp, h, w)
+    x = resize2d(
+        x.reshape(b * maxdisp, h, w)[..., None], (3 * h, 3 * w), align_corners=False
+    )[..., 0].reshape(b, maxdisp, 3 * h, 3 * w)
+    # Softmin over disparity (fp32 for stable expectation).
+    x = x.astype(jnp.float32)
+    p = jnp.exp(jnp.negative(x) - jnp.max(-x, axis=1, keepdims=True))
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+    disp = jnp.arange(maxdisp, dtype=jnp.float32)[None, :, None, None]
+    return jnp.sum(p * disp, axis=1)
+
+
+def soft_argmin_fast(cost: jnp.ndarray, maxdisp: int) -> jnp.ndarray:
+    """Fast mode: softmin at feature resolution, then upsample the disparity map.
+
+    ~27x less softmax work and no (B, maxdisp, 3h, 3w) intermediate. The
+    disparity-axis upsample is folded analytically: expectation over the
+    upsampled axis equals 3x the low-res expectation plus a sub-pixel offset
+    absorbed by training; for serving we scale by ``maxdisp / D``.
+    """
+    b, d, h, w, _ = cost.shape
+    x = cost[..., 0].astype(jnp.float32)
+    p = jnp.exp(-x - jnp.max(-x, axis=1, keepdims=True))
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+    disp = jnp.arange(d, dtype=jnp.float32)[None, :, None, None]
+    low = jnp.sum(p * disp, axis=1) * (maxdisp / d)  # (B, h, w)
+    up = resize2d(low[..., None], (3 * h, 3 * w), align_corners=False)[..., 0]
+    return up
