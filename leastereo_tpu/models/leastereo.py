@@ -1,0 +1,91 @@
+"""Full decoded stereo model (reference ``retrain/LEAStereo.py:12-52``).
+
+``disparity = LEAStereo(left, right)``: shared-weight Feature Net on both
+views -> concat feature volume over ``maxdisp/3`` candidate disparities ->
+3D Matching Net -> soft-argmin disparity regression at full resolution.
+
+Inputs are NHWC ``(B, H, W, 3)`` with H, W divisible by 3 (stem stride) and
+by 12 at 1/3-resolution for the deepest matching level; outputs ``(B, H, W)``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.cost_volume import build_cost_volume
+from ..ops.softargmin import soft_argmin, soft_argmin_fast
+from .feature_net import FeatureNet
+from .genotypes import BEST_SCENEFLOW, Architecture
+from .matching_net import MatchingNet
+
+
+@dataclasses.dataclass(frozen=True)
+class LEAStereoConfig:
+    """Shape hyper-parameters (reference ``config_utils/leastereo_args.py:4-13``)."""
+
+    maxdisp: int = 192
+    fea_filter_multiplier: int = 8
+    fea_block_multiplier: int = 4
+    fea_steps: int = 3
+    mat_filter_multiplier: int = 8
+    mat_block_multiplier: int = 4
+    mat_steps: int = 3
+    compute_dtype: str = "bfloat16"
+    fast_head: bool = False  # soft_argmin_fast serving mode
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+
+class LEAStereo(nn.Module):
+    feature_arch: Architecture
+    matching_arch: Architecture
+    config: LEAStereoConfig = LEAStereoConfig()
+
+    @nn.compact
+    def __call__(self, left: jnp.ndarray, right: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        cfg = self.config
+        dtype = cfg.dtype
+        left = left.astype(dtype)
+        right = right.astype(dtype)
+
+        feature = FeatureNet(
+            genotype=self.feature_arch,
+            filter_multiplier=cfg.fea_filter_multiplier,
+            block_multiplier=cfg.fea_block_multiplier,
+            steps=cfg.fea_steps,
+            dtype=dtype,
+            name="feature",
+        )
+        # Shared weights across views (reference retrain/LEAStereo.py:31-32).
+        f_left = feature(left, train=train)
+        f_right = feature(right, train=train)
+
+        cost = build_cost_volume(f_left, f_right, cfg.maxdisp // 3)
+
+        mat = MatchingNet(
+            genotype=self.matching_arch,
+            filter_multiplier=cfg.mat_filter_multiplier,
+            block_multiplier=cfg.mat_block_multiplier,
+            steps=cfg.mat_steps,
+            dtype=dtype,
+            name="matching",
+        )(cost, train=train)
+
+        if cfg.fast_head:
+            return soft_argmin_fast(mat, cfg.maxdisp)
+        return soft_argmin(mat, cfg.maxdisp)
+
+
+def best_sceneflow_model(config: LEAStereoConfig = LEAStereoConfig()) -> LEAStereo:
+    """The shipped best-searched architecture
+    (reference run/sceneflow/best/architecture/*.npy)."""
+    return LEAStereo(
+        feature_arch=BEST_SCENEFLOW["feature"],
+        matching_arch=BEST_SCENEFLOW["matching"],
+        config=config,
+    )
