@@ -13,6 +13,7 @@ from __future__ import annotations
 import dataclasses
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.cost_volume import build_cost_volume
@@ -35,6 +36,11 @@ class LEAStereoConfig:
     mat_steps: int = 3
     compute_dtype: str = "bfloat16"
     fast_head: bool = False  # soft_argmin_fast serving mode
+    # Optional PartitionSpec (as a tuple of axis names / None) constraining the
+    # (B, D, H, W, 2C) cost volume, e.g. ("data", "disp") shards the disparity
+    # axis across the mesh — the CP-analog for maxdisp-408 Middlebury frames
+    # (SURVEY.md §2.4). Requires running under jax.sharding.set_mesh(mesh).
+    cost_volume_pspec: tuple | None = None
 
     @property
     def dtype(self):
@@ -66,6 +72,10 @@ class LEAStereo(nn.Module):
         f_right = feature(right, train=train)
 
         cost = build_cost_volume(f_left, f_right, cfg.maxdisp // 3)
+        if cfg.cost_volume_pspec is not None:
+            cost = jax.lax.with_sharding_constraint(
+                cost, jax.sharding.PartitionSpec(*cfg.cost_volume_pspec)
+            )
 
         mat = MatchingNet(
             genotype=self.matching_arch,

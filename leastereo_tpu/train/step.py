@@ -1,0 +1,144 @@
+"""Jitted training / evaluation steps over a device mesh.
+
+Replaces the reference's DataParallel training loops (``train.py:130-178``)
+with a single pjit'd step: batch sharded over the mesh ``data`` axis,
+parameters replicated, gradient all-reduce inserted by XLA as ``psum`` over
+ICI. BatchNorm batch statistics are computed over the *global* batch under
+GSPMD (sync-BN; the reference's per-replica BN is strictly noisier —
+documented divergence, SURVEY.md §7 step 3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import DATA_AXIS
+from .losses import masked_smooth_l1
+from .metrics import epe, three_px_error
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    apply_fn: Callable = struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, *, apply_fn, params, batch_stats, tx):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            apply_fn=apply_fn,
+            tx=tx,
+        )
+
+
+def multistep_lr(base_lr: float, milestones: tuple[int, ...], gamma: float) -> optax.Schedule:
+    """MultiStepLR analog (reference train.py:80: milestones [30,50,300], γ=0.5),
+    in units of epochs — pass per-epoch boundaries scaled to steps."""
+    return optax.piecewise_constant_schedule(
+        base_lr, {int(m): gamma for m in milestones}
+    )
+
+
+def make_optimizer(
+    solver: str = "adam",
+    lr: float | optax.Schedule = 1e-3,
+    momentum: float = 0.9,
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    """Adam(0.9, 0.999) or SGD(momentum) — reference train.py:75-78."""
+    if solver == "adam":
+        tx = optax.adam(lr, b1=0.9, b2=0.999)
+    elif solver == "sgd":
+        tx = optax.sgd(lr, momentum=momentum)
+    else:
+        raise ValueError(f"unknown solver {solver}")
+    if weight_decay:
+        tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+    return tx
+
+
+def make_train_step(maxdisp: int, mesh: Mesh | None = None, donate: bool = True):
+    """Build the jitted train step.
+
+    Returns ``step(state, batch) -> (state, metrics)`` where ``batch`` is a
+    dict of NHWC ``left``, ``right`` and ``(B, H, W)`` ``disparity``.
+    """
+
+    def train_step(state: TrainState, batch):
+        def loss_fn(params):
+            disp, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["left"],
+                batch["right"],
+                train=True,
+                mutable=["batch_stats"],
+            )
+            disp = disp.astype(jnp.float32)
+            loss = masked_smooth_l1(disp, batch["disparity"], maxdisp)
+            return loss, (updates["batch_stats"], disp)
+
+        (loss, (new_stats, disp)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "epe": epe(disp, batch["disparity"], maxdisp),
+            "err3": three_px_error(disp, batch["disparity"], maxdisp),
+        }
+        state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        return state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, batch_sh),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(maxdisp: int, mesh: Mesh | None = None):
+    """Jitted eval step -> (disparity, metrics)."""
+
+    def eval_step(state: TrainState, batch):
+        disp = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["left"],
+            batch["right"],
+            train=False,
+        ).astype(jnp.float32)
+        metrics = {
+            "epe": epe(disp, batch["disparity"], maxdisp),
+            "err3": three_px_error(disp, batch["disparity"], maxdisp),
+        }
+        return disp, metrics
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(eval_step, in_shardings=(repl, batch_sh), out_shardings=(batch_sh, repl))

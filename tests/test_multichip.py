@@ -1,0 +1,54 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+
+import jax
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_dryrun_multichip():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_data_parallel_train_step_matches_single_device():
+    """Same batch, 1-device vs 8-device mesh: loss must agree."""
+    import jax.numpy as jnp
+
+    from leastereo_tpu.models import LEAStereoConfig, best_sceneflow_model
+    from leastereo_tpu.parallel import make_mesh
+    from leastereo_tpu.train import TrainState, make_optimizer, make_train_step
+
+    maxdisp = 24
+    cfg = LEAStereoConfig(maxdisp=maxdisp, compute_dtype="float32")
+    model = best_sceneflow_model(cfg)
+    rng = np.random.RandomState(0)
+    batch = {
+        "left": jnp.asarray(rng.randn(8, 24, 48, 3), jnp.float32),
+        "right": jnp.asarray(rng.randn(8, 24, 48, 3), jnp.float32),
+        "disparity": jnp.asarray(rng.rand(8, 24, 48) * 20, jnp.float32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["left"][:1], batch["right"][:1])
+
+    def new_state():
+        return TrainState.create(
+            apply_fn=model.apply,
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            tx=make_optimizer("adam", 1e-3),
+        )
+
+    single = make_train_step(maxdisp, mesh=None, donate=False)
+    _, m1 = single(new_state(), batch)
+
+    mesh = make_mesh(disp=1)
+    with jax.sharding.set_mesh(mesh):
+        sharded = make_train_step(maxdisp, mesh=mesh, donate=False)
+        _, m8 = sharded(new_state(), batch)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["epe"]), float(m8["epe"]), rtol=1e-5)
