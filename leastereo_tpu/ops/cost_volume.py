@@ -36,19 +36,20 @@ def build_cost_volume(left: jnp.ndarray, right: jnp.ndarray, num_disp: int) -> j
       ``retrain/LEAStereo.py:42-48``.
     """
     b, h, w, c = left.shape
-    d = jnp.arange(num_disp)[:, None]  # (D, 1)
-    wi = jnp.arange(w)[None, :]  # (1, W)
-    src = wi - d  # (D, W): right-feature column feeding (d, w)
-    valid = (src >= 0).astype(left.dtype)  # (D, W)
-    src = jnp.clip(src, 0, w - 1)
+    x = jnp.concatenate([left, right], axis=-1)  # (B, H, W, 2C)
+    pad = [(0, 0), (0, 0), (0, 0), (0, 0)]
 
-    # One gather along W: (B, H, D, W, C) -> transpose-free via axis ordering.
-    # take(right, src, axis=2) yields (B, H, D, W, C); we build directly in
-    # (B, D, H, W, C) by gathering with take on a transposed view instead:
-    right_dhw = jnp.take(right, src.reshape(-1), axis=2)  # (B, H, D*W, C)
-    right_dhw = right_dhw.reshape(b, h, num_disp, w, c).transpose(0, 2, 1, 3, 4)
-    mask = valid[None, :, None, :, None]  # (1, D, 1, W, 1)
-    right_part = right_dhw * mask
-
-    left_part = left[:, None] * mask  # (B, 1, H, W, C) * mask -> (B, D, H, W, C)
-    return jnp.concatenate([left_part, right_part], axis=-1)
+    # Static unroll over D: each disparity slice is a zero-pad of static
+    # slices — no gathers, no transposes; XLA fuses the pads/concats into the
+    # volume materialization in (B, D, H, W, 2C) layout directly.
+    slices = []
+    for d in range(num_disp):
+        if d == 0:
+            slices.append(x)
+            continue
+        left_d = left[:, :, d:]  # left columns w >= d keep their position
+        right_d = right[:, :, : w - d]  # right shifted by d
+        sl = jnp.concatenate([left_d, right_d], axis=-1)
+        pad[2] = (d, 0)
+        slices.append(jnp.pad(sl, pad))
+    return jnp.stack(slices, axis=1)

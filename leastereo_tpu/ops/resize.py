@@ -73,18 +73,35 @@ def interp_matrix(in_size: int, out_size: int, align_corners: bool, dtype=np.flo
     return m.astype(dtype)
 
 
-def _resize_axis(x: jnp.ndarray, axis: int, out_size: int, align_corners: bool) -> jnp.ndarray:
-    in_size = x.shape[axis]
-    if in_size == out_size:
-        return x
-    m = jnp.asarray(interp_matrix(in_size, out_size, align_corners), dtype=x.dtype)
-    # Contract the resized axis against the interp matrix; MXU-friendly.
-    # precision=HIGHEST: sub-pixel disparity accuracy depends on exact lerp
-    # weights — the default TPU bf16 matmul costs ~1e-2 absolute error, and
-    # these contractions are a negligible share of model FLOPs.
-    moved = jnp.moveaxis(x, axis, -1)
-    out = jnp.matmul(moved, m.T, precision=jax.lax.Precision.HIGHEST)
-    return jnp.moveaxis(out, -1, axis)
+def _resize_axes(x: jnp.ndarray, axes: tuple[int, ...], out_sizes: tuple[int, ...], align_corners: bool) -> jnp.ndarray:
+    """Resize several axes with ONE final transpose.
+
+    Each contraction (``dot_general`` over the resized axis, fp32-accurate —
+    sub-pixel disparity accuracy depends on exact lerp weights, and the TPU's
+    default bf16 matmul costs ~1e-2 absolute error) moves the produced axis to
+    the end; a single transpose at the end restores logical order. The naive
+    moveaxis-matmul-moveaxis per axis costs 2 HBM copies per axis — measured
+    at ~1/3 of total inference time — this shape costs at most one.
+    """
+    order = list(range(x.ndim))  # logical axis id at each physical position
+    for axis, out_size in zip(axes, out_sizes):
+        pos = order.index(axis)
+        in_size = x.shape[pos]
+        if in_size == out_size:
+            continue
+        m = jnp.asarray(interp_matrix(in_size, out_size, align_corners), dtype=x.dtype)
+        x = jax.lax.dot_general(
+            x,
+            m,
+            dimension_numbers=(((pos,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        order.pop(pos)
+        order.append(axis)
+    perm = [order.index(i) for i in range(len(order))]
+    if perm != list(range(len(order))):
+        x = jnp.transpose(x, perm)
+    return x
 
 
 def resize2d(x: jnp.ndarray, out_hw: tuple[int, int], align_corners: bool = True) -> jnp.ndarray:
@@ -93,10 +110,7 @@ def resize2d(x: jnp.ndarray, out_hw: tuple[int, int], align_corners: bool = True
     Parity with torch ``F.interpolate(x, out_hw, mode='bilinear',
     align_corners=...)`` (reference ``retrain/new_model_2d.py:47-50``).
     """
-    b, h, w, c = x.shape
-    x = _resize_axis(x, 1, out_hw[0], align_corners)
-    x = _resize_axis(x, 2, out_hw[1], align_corners)
-    return x
+    return _resize_axes(x, (1, 2), tuple(out_hw), align_corners)
 
 
 def resize3d(x: jnp.ndarray, out_dhw: tuple[int, int, int], align_corners: bool = True) -> jnp.ndarray:
@@ -105,10 +119,39 @@ def resize3d(x: jnp.ndarray, out_dhw: tuple[int, int, int], align_corners: bool 
     Parity with torch trilinear ``F.interpolate`` (reference
     ``retrain/skip_model_3d.py:48-51``, ``models/build_model_2d.py:53``).
     """
-    x = _resize_axis(x, 1, out_dhw[0], align_corners)
-    x = _resize_axis(x, 2, out_dhw[1], align_corners)
-    x = _resize_axis(x, 3, out_dhw[2], align_corners)
-    return x
+    return _resize_axes(x, (1, 2, 3), tuple(out_dhw), align_corners)
+
+
+def upsample3x_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Exact 3x linear upsample along ``axis``, align_corners=False.
+
+    Phase-decomposed: output position ``3i + r`` has source ``i + (r-1)/3``,
+    so each phase is a fixed 2-tap blend of ``x`` and a +/-1 shift — pure
+    shift/add/interleave, no matmuls or transposes. Identical math to
+    ``interp_matrix(n, 3n, align_corners=False)`` (covered by the torch-parity
+    resize tests); used by the disparity head's 3x trilinear upsample
+    (reference models/build_model_2d.py:52-53).
+    """
+    n = x.shape[axis]
+
+    def shift(arr, delta):  # clamp-padded shift along `axis`
+        lo = [slice(None)] * arr.ndim
+        if delta == -1:  # x[i-1]
+            lo[axis] = slice(0, n - 1)
+            first = [slice(None)] * arr.ndim
+            first[axis] = slice(0, 1)
+            return jnp.concatenate([arr[tuple(first)], arr[tuple(lo)]], axis=axis)
+        lo[axis] = slice(1, n)  # x[i+1]
+        last = [slice(None)] * arr.ndim
+        last[axis] = slice(n - 1, n)
+        return jnp.concatenate([arr[tuple(lo)], arr[tuple(last)]], axis=axis)
+
+    third = jnp.asarray(1.0 / 3.0, x.dtype)
+    two_third = jnp.asarray(2.0 / 3.0, x.dtype)
+    r0 = third * shift(x, -1) + two_third * x
+    r2 = two_third * x + third * shift(x, +1)
+    out = jnp.stack([r0, x, r2], axis=axis + 1)
+    return out.reshape(x.shape[: axis] + (3 * n,) + x.shape[axis + 1 :])
 
 
 def upsample2x_2d(x: jnp.ndarray, align_corners: bool = True) -> jnp.ndarray:

@@ -21,15 +21,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .resize import interp_matrix, resize2d
+from .resize import resize2d, upsample3x_axis
 
 __all__ = ["soft_argmin", "soft_argmin_fast"]
-
-
-def _upsample_d(cost: jnp.ndarray, maxdisp: int) -> jnp.ndarray:
-    """Upsample the leading disparity axis (B, D, h, w) -> (B, maxdisp, h, w)."""
-    m = jnp.asarray(interp_matrix(cost.shape[1], maxdisp, align_corners=False), cost.dtype)
-    return jnp.einsum("bdhw,ed->behw", cost, m, precision=jax.lax.Precision.HIGHEST)
 
 
 def soft_argmin(cost: jnp.ndarray, maxdisp: int) -> jnp.ndarray:
@@ -42,16 +36,19 @@ def soft_argmin(cost: jnp.ndarray, maxdisp: int) -> jnp.ndarray:
     Returns:
       ``(B, 3h, 3w)`` disparity map, parity with reference ``Disp.forward``
       (``models/build_model_2d.py:52-57``).
+
+    The trilinear align_corners=False upsample is exactly 3x in every axis,
+    so it decomposes into three phase-interleaved shift-adds
+    (``upsample3x_axis``) — no matmuls or layout copies. fp32 throughout:
+    sub-pixel expectation accuracy is the model's headline metric.
     """
-    b, d, h, w, _ = cost.shape
-    x = cost[..., 0]  # (B, D, h, w)
-    # Trilinear upsample, align_corners=False (separable per-axis matmuls).
-    x = _upsample_d(x, maxdisp)  # (B, maxdisp, h, w)
-    x = resize2d(
-        x.reshape(b * maxdisp, h, w)[..., None], (3 * h, 3 * w), align_corners=False
-    )[..., 0].reshape(b, maxdisp, 3 * h, 3 * w)
-    # Softmin over disparity (fp32 for stable expectation).
-    x = x.astype(jnp.float32)
+    if maxdisp != 3 * cost.shape[1]:
+        raise ValueError(f"maxdisp {maxdisp} != 3 * D ({cost.shape[1]})")
+    x = cost[..., 0].astype(jnp.float32)  # (B, D, h, w)
+    x = upsample3x_axis(x, 1)  # disparity axis
+    x = upsample3x_axis(x, 2)  # H
+    x = upsample3x_axis(x, 3)  # W
+    # Softmin over disparity.
     p = jnp.exp(jnp.negative(x) - jnp.max(-x, axis=1, keepdims=True))
     p = p / jnp.sum(p, axis=1, keepdims=True)
     disp = jnp.arange(maxdisp, dtype=jnp.float32)[None, :, None, None]
