@@ -1,0 +1,32 @@
+from .dataset import ListSet, StereoListDataset, StereoSample, default_root
+from .lists import build_satellite_lists, build_sceneflow_lists, build_whu_lists
+from .loaders import LOADERS, uses_left_disparity
+from .pfm import read_pfm, write_pfm
+from .pipeline import batch_iterator, make_loader, prefetch_to_device
+from .transforms import (
+    PAD_DISP_SENTINEL,
+    standardize_stack,
+    test_transform,
+    train_transform,
+)
+
+__all__ = [
+    "ListSet",
+    "StereoListDataset",
+    "StereoSample",
+    "default_root",
+    "build_satellite_lists",
+    "build_sceneflow_lists",
+    "build_whu_lists",
+    "LOADERS",
+    "uses_left_disparity",
+    "read_pfm",
+    "write_pfm",
+    "batch_iterator",
+    "make_loader",
+    "prefetch_to_device",
+    "PAD_DISP_SENTINEL",
+    "standardize_stack",
+    "test_transform",
+    "train_transform",
+]
