@@ -1,0 +1,72 @@
+"""Shared driver plumbing: model construction, checkpoint IO, metric logging."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+from ..models import (
+    BEST_SCENEFLOW,
+    LEAStereo,
+    LEAStereoConfig,
+    load_architecture,
+)
+
+__all__ = ["build_model", "MetricLogger", "Timer"]
+
+
+def build_model(args) -> LEAStereo:
+    """Model from arch .npy flags, falling back to the shipped best
+    architecture (reference retrain/LEAStereo.py:16-21)."""
+    cfg = LEAStereoConfig(
+        maxdisp=args.maxdisp,
+        fea_filter_multiplier=args.fea_filter_multiplier,
+        fea_block_multiplier=args.fea_block_multiplier,
+        fea_steps=args.fea_step,
+        mat_filter_multiplier=args.mat_filter_multiplier,
+        mat_block_multiplier=args.mat_block_multiplier,
+        mat_steps=args.mat_step,
+        compute_dtype=args.dtype,
+        fast_head=getattr(args, "fast_head", False),
+    )
+    if args.net_arch_fea and args.cell_arch_fea:
+        fea = load_architecture(args.net_arch_fea, args.cell_arch_fea)
+    else:
+        fea = BEST_SCENEFLOW["feature"]
+    if args.net_arch_mat and args.cell_arch_mat:
+        mat = load_architecture(args.net_arch_mat, args.cell_arch_mat)
+    else:
+        mat = BEST_SCENEFLOW["matching"]
+    return LEAStereo(feature_arch=fea, matching_arch=mat, config=cfg)
+
+
+class MetricLogger:
+    """stdout + JSONL scalar logging (replaces the reference's TensorBoard
+    writer, train.py:100-101; the JSONL is trivially importable anywhere)."""
+
+    def __init__(self, logs_dir: str | None):
+        self.path = None
+        if logs_dir:
+            os.makedirs(logs_dir, exist_ok=True)
+            self.path = os.path.join(logs_dir, "metrics.jsonl")
+
+    def log(self, step: int, **scalars) -> None:
+        payload = {"step": int(step)}
+        payload.update({k: float(v) for k, v in scalars.items()})
+        line = " ".join(f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}" for k, v in payload.items())
+        print(line, flush=True)
+        if self.path:
+            with open(self.path, "a") as f:
+                f.write(json.dumps(payload) + "\n")
+
+
+class Timer:
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.seconds = time.perf_counter() - self.t0

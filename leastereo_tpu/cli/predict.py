@@ -1,0 +1,89 @@
+"""Batch-free inference driver (reference ``predict.py``).
+
+Per frame: load + standardize, sentinel-pad or center-crop to the inference
+shape, jitted forward (compiled once per shape), un-pad, save a
+turbo-colormapped PNG; prints per-frame wall time.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+from ..data import ListSet, StereoListDataset
+from ..data.transforms import test_transform
+from ..utils import colorize_disparity, restore_checkpoint, tolerant_merge
+from .common import Timer, build_model
+from .config import predict_parser
+
+__all__ = ["main", "run_frame", "make_forward"]
+
+
+def make_forward(model, variables):
+    @jax.jit
+    def fwd(left, right):
+        return model.apply(variables, left, right)
+
+    return fwd
+
+
+def run_frame(fwd, stack: np.ndarray, crop_height: int, crop_width: int, use_left: bool = True):
+    """Pad-or-crop one frame, run the model, un-pad the prediction
+    (reference predict.py:144-174)."""
+    _, h, w = stack.shape
+    left, right, _ = test_transform(stack, crop_height, crop_width, use_left=use_left)
+    disp = np.asarray(fwd(left[None], right[None]), np.float32)[0]
+    if h <= crop_height and w <= crop_width:
+        disp = disp[crop_height - h :, crop_width - w :]
+    return disp
+
+
+def main(argv=None) -> int:
+    args = predict_parser().parse_args(argv)
+    from .config import apply_platform
+
+    apply_platform(args)
+
+    lists = ListSet.resolve(args.listset, args.lists_dir)
+    list_file = getattr(lists, args.split)
+    ds = StereoListDataset(
+        dataset=args.dataset,
+        list_file=list_file,
+        root=args.data_root,
+        crop_size=(args.crop_height, args.crop_width),
+        training=False,
+    )
+
+    model = build_model(args)
+    sample = np.zeros((1, args.crop_height, args.crop_width, 3), np.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), sample, sample)
+    if args.checkpoint:
+        template = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+        variables = dict(tolerant_merge(template, restore_checkpoint(args.checkpoint, template)))
+        print(f"loaded checkpoint {args.checkpoint}", flush=True)
+    fwd = make_forward(model, variables)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    from PIL import Image
+
+    from ..data.loaders import uses_left_disparity
+
+    use_left = uses_left_disparity(args.dataset)
+    for i in range(len(ds)):
+        stack = ds.load_stack(i)
+        with Timer() as t:
+            disp = run_frame(fwd, stack, args.crop_height, args.crop_width, use_left)
+            disp = np.asarray(disp)
+        name = ds.entries[i].replace("/", "_")
+        Image.fromarray(colorize_disparity(disp)).save(os.path.join(args.output_dir, f"{name}.png"))
+        np.save(os.path.join(args.output_dir, f"{name}.npy"), disp)
+        print(f"{ds.entries[i]}: {t.seconds:.3f}s  disp[{disp.min():.1f}, {disp.max():.1f}]", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

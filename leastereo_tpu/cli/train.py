@@ -1,0 +1,156 @@
+"""Retrain / fine-tune driver (reference ``train.py``).
+
+python -m leastereo_tpu.cli.train --dataset sceneflow --listset sceneflow_demo \
+    --crop_height 192 --crop_width 384 --batch_size 2 --epochs 2 ...
+
+Single jitted train step over a ``(data, disp)`` mesh; host loop handles
+epochs, validation, early stopping, checkpoints, and JSONL metric logs.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import numpy as np
+import optax
+
+from ..data import ListSet, StereoListDataset, make_loader
+from ..parallel import make_mesh
+from ..parallel.mesh import batch_sharding
+from ..train import (
+    TrainState,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from ..utils import EarlyStopping, ExperimentSaver, param_size_mb, restore_checkpoint, save_checkpoint, tolerant_merge
+from .common import MetricLogger, build_model
+from .config import train_parser
+
+__all__ = ["main", "freeze_labels"]
+
+
+def freeze_labels(params, freeze_feature: bool, freeze_matching: int):
+    """'frozen'/'train' label tree. Parity with reference transfer-learning
+    freezing (train.py:90-96, skip_model_3d.py:176-190): ``freeze_feature``
+    freezes the whole feature net; ``freeze_matching=n`` freezes the matching
+    stems + first n cells (+ the skip fusion convs once their target cell is
+    frozen)."""
+
+    def label(path, _):
+        keys = [getattr(p, "key", None) for p in path]
+        if freeze_feature and keys[0] == "feature":
+            return "frozen"
+        if freeze_matching and keys[0] == "matching":
+            name = keys[1] or ""
+            if name.startswith("stem"):
+                return "frozen"
+            if name.startswith("cell_") and int(name.split("_")[1]) < freeze_matching:
+                return "frozen"
+            if name.startswith("skip_conv_") and int(name.split("_")[2]) <= freeze_matching:
+                return "frozen"
+        return "train"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def build_tx(args, params, steps_per_epoch: int):
+    """Adam/SGD + MultiStepLR(milestones, gamma) in epoch units
+    (reference train.py:75-80), with optional freeze partition."""
+    boundaries = {m * steps_per_epoch: args.lr_gamma for m in args.milestones}
+    schedule = optax.piecewise_constant_schedule(args.lr, boundaries)
+    inner = make_optimizer(args.solver, schedule)
+    if args.freeze_feature or args.freeze_matching:
+        labels = freeze_labels(params, bool(args.freeze_feature), args.freeze_matching)
+        inner = optax.multi_transform({"train": inner, "frozen": optax.set_to_zero()}, labels)
+    return inner
+
+
+def main(argv=None) -> int:
+    args = train_parser().parse_args(argv)
+    from .config import apply_platform
+
+    apply_platform(args)
+
+    saver = ExperimentSaver(args.run_root, args.dataset, "train", args.experiment, resume=bool(args.resume))
+    saver.save_parameters(args)
+    log = MetricLogger(saver.logs_dir)
+
+    lists = ListSet.resolve(args.listset, args.lists_dir)
+    crop = (args.crop_height, args.crop_width)
+    ds_kw = dict(dataset=args.dataset, root=args.data_root, seed=args.seed)
+    train_ds = StereoListDataset(
+        list_file=lists.train, crop_size=crop, training=True, shift=args.shift,
+        left_right=args.left_right, **ds_kw,
+    )
+    val_ds = StereoListDataset(list_file=lists.val, crop_size=crop, training=False, **ds_kw)
+
+    mesh = make_mesh(data=args.mesh_data, disp=args.mesh_disp)
+    sharding = batch_sharding(mesh)
+    train_loader = make_loader(train_ds, args.batch_size, seed=args.seed, num_workers=args.workers, sharding=sharding)
+    # Eval batches may not divide the data axis; fall back to replicated eval.
+    val_mesh = mesh if args.test_batch_size % mesh.shape["data"] == 0 else None
+    val_loader = make_loader(val_ds, args.test_batch_size, shuffle=False, num_workers=args.workers,
+                             sharding=sharding if val_mesh else None, drop_last=False)
+
+    model = build_model(args)
+    rng = jax.random.PRNGKey(args.seed)
+    sample = np.zeros((args.batch_size, *crop, 3), np.float32)
+    with jax.sharding.set_mesh(mesh):
+        variables = jax.jit(model.init)(rng, sample, sample)
+    print(f"model params: {param_size_mb(variables['params']):.3f} M", flush=True)
+
+    tx = build_tx(args, variables["params"], max(train_loader.steps_per_epoch, 1))
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        tx=tx,
+    )
+    if args.resume:
+        template = {"params": state.params, "batch_stats": state.batch_stats}
+        restored = restore_checkpoint(args.resume, template)
+        merged = tolerant_merge(template, restored)
+        state = state.replace(params=merged["params"], batch_stats=merged["batch_stats"])
+        print(f"resumed from {args.resume}", flush=True)
+
+    train_step = make_train_step(args.maxdisp, mesh=mesh)
+    eval_step = make_eval_step(args.maxdisp, mesh=val_mesh)
+
+    def save(kind: str, epoch: int):
+        save_checkpoint(
+            f"{saver.checkpoint_dir}/{kind}",
+            epoch,
+            {"params": state.params, "batch_stats": state.batch_stats},
+        )
+
+    early = EarlyStopping(args.patience, args.es_delta, args.ckpt_period, save_fn=save)
+
+    step = 0
+    with jax.sharding.set_mesh(mesh):
+        for epoch in range(args.epochs):
+            for batch in train_loader(epoch):
+                state, metrics = train_step(state, batch)
+                step += 1
+                if step % 10 == 1:
+                    log.log(step, epoch=epoch, **{k: float(v) for k, v in metrics.items()})
+                if args.max_steps_per_epoch and step % max(args.max_steps_per_epoch, 1) == 0:
+                    break
+            # validation
+            vals = []
+            for batch in val_loader(0):
+                _, m = eval_step(state, batch)
+                vals.append({k: float(v) for k, v in m.items()})
+            if vals:
+                avg = {k: float(np.mean([v[k] for v in vals])) for k in vals[0]}
+                log.log(step, epoch=epoch, **{f"val_{k}": v for k, v in avg.items()})
+                if early(avg["err3"], epoch + 1):
+                    print(f"early stop at epoch {epoch} (best {early.best:.4f} @ {early.best_epoch})", flush=True)
+                    break
+    save("final", args.epochs)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -28,16 +28,20 @@ DISP_AXIS = "disp"
 
 
 def make_mesh(data: int | None = None, disp: int = 1, devices=None) -> Mesh:
-    """Build a ``(data, disp)`` mesh over ``devices`` (default: all)."""
+    """Build a ``(data, disp)`` mesh over ``devices`` (default: all).
+
+    With ``data`` given, uses the first ``data * disp`` devices — letting
+    tests and small runs claim a subset of the host's virtual devices.
+    """
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
     if data is None:
         if n % disp:
             raise ValueError(f"{n} devices not divisible by disp={disp}")
         data = n // disp
-    if data * disp != n:
-        raise ValueError(f"mesh {data}x{disp} != {n} devices")
-    return Mesh(devices.reshape(data, disp), (DATA_AXIS, DISP_AXIS))
+    if data * disp > n:
+        raise ValueError(f"mesh {data}x{disp} needs more than {n} devices")
+    return Mesh(devices[: data * disp].reshape(data, disp), (DATA_AXIS, DISP_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -1,0 +1,19 @@
+from .checkpoint import latest_step, restore_checkpoint, save_checkpoint, tolerant_merge
+from .colorize import colorize_disparity, turbo_colormap
+from .experiment import EarlyStopping, ExperimentSaver
+from .profiling import cost_analysis, count_params, model_flops, param_size_mb
+
+__all__ = [
+    "latest_step",
+    "restore_checkpoint",
+    "save_checkpoint",
+    "tolerant_merge",
+    "colorize_disparity",
+    "turbo_colormap",
+    "EarlyStopping",
+    "ExperimentSaver",
+    "cost_analysis",
+    "count_params",
+    "model_flops",
+    "param_size_mb",
+]
