@@ -20,6 +20,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    import leastereo_tpu
+
+    leastereo_tpu.setup_compilation_cache()
+
     from leastereo_tpu.models import LEAStereoConfig, best_sceneflow_model
 
     h, w, maxdisp = 384, 1248, 192

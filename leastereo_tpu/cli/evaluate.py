@@ -58,6 +58,9 @@ def main(argv=None) -> int:
     from .config import apply_platform
 
     apply_platform(args)
+    from .. import setup_compilation_cache
+
+    setup_compilation_cache()
 
     lists = ListSet.resolve(args.listset, args.lists_dir)
     list_file = getattr(lists, args.split)

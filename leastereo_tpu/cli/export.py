@@ -34,6 +34,9 @@ def main(argv=None) -> int:
     from .config import apply_platform
 
     apply_platform(args)
+    from .. import setup_compilation_cache
+
+    setup_compilation_cache()
 
     model = build_model(args)
     sample = np.zeros((1, args.height, args.width, 3), np.float32)

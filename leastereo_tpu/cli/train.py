@@ -72,6 +72,9 @@ def main(argv=None) -> int:
     from .config import apply_platform
 
     apply_platform(args)
+    from .. import setup_compilation_cache
+
+    setup_compilation_cache()
 
     saver = ExperimentSaver(args.run_root, args.dataset, "train", args.experiment, resume=bool(args.resume))
     saver.save_parameters(args)

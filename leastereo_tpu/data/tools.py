@@ -1,0 +1,116 @@
+"""Dataset hygiene / conversion / metric-aggregation tools.
+
+Reimplements the reference's one-off scripts as callable functions:
+``dataloaders/clean_new_tagil.py`` (validity filters + hide/unhide),
+``dataloaders/whu_convert.py`` (flat triplets -> per-sample dirs),
+``dataloaders/new_tagil_convert.py`` (epi subdirs -> flat), and
+``utils/estimate_eval.py`` (aggregate the evaluation driver's per-frame
+``_metrics.txt`` files).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+import numpy as np
+
+__all__ = [
+    "tagil_sample_valid",
+    "clean_new_tagil",
+    "convert_whu",
+    "aggregate_metrics",
+]
+
+REQUIRED_NO_OCC = 0.3
+REQUIRED_NON_ZERO = 0.8
+HIGH_TH = 500
+HIGH_MAX_FRAC = 0.15
+
+
+def _frac_nonzero(arr: np.ndarray) -> float:
+    return np.count_nonzero(arr) / arr.size
+
+
+def tagil_sample_valid(sample_dir: str) -> bool:
+    """Validity filters (reference clean_new_tagil.py:26-46): images >=80%
+    nonzero and <15% above 500; disparities >=30% non-NaN."""
+    from PIL import Image
+
+    def arr(fn):
+        return np.asarray(Image.open(os.path.join(sample_dir, fn)))
+
+    for fn in ("img_L.tif", "img_R.tif"):
+        a = arr(fn)
+        if _frac_nonzero(a) < REQUIRED_NON_ZERO:
+            return False
+        if np.count_nonzero(a > HIGH_TH) / a.size >= HIGH_MAX_FRAC:
+            return False
+    for fn in ("disp_L_lidar.tif", "disp_R_lidar.tif"):
+        a = np.asarray(arr(fn), np.float32)
+        if np.count_nonzero(~np.isnan(a)) / a.size < REQUIRED_NO_OCC:
+            return False
+    return True
+
+
+def clean_new_tagil(dataset_dir: str, dry_run: bool = True) -> dict:
+    """Hide invalid sample dirs by dot-prefixing (reference
+    clean_new_tagil.py:54-90). Returns {name: valid}."""
+    results = {}
+    for entry in sorted(os.scandir(dataset_dir), key=lambda e: e.name):
+        if not entry.is_dir() or entry.name.startswith("."):
+            continue
+        valid = tagil_sample_valid(entry.path)
+        results[entry.name] = valid
+        if not valid and not dry_run:
+            shutil.move(entry.path, os.path.join(dataset_dir, f".{entry.name}"))
+    return results
+
+
+_WHU_LEFT_RE = re.compile(r"([A-Z]+)_left_(\d+)\.tiff$")
+
+
+def convert_whu(in_dir: str, out_dir: str) -> int:
+    """Flat ``{left,right,disp}/PFX_*_NUM.tiff`` triplets -> per-sample dirs
+    with ``left.tiff / right.tiff / disp_L.tiff`` (reference whu_convert.py)."""
+    os.makedirs(out_dir, exist_ok=True)
+    count = 0
+    for fn in sorted(os.listdir(os.path.join(in_dir, "left"))):
+        m = _WHU_LEFT_RE.search(fn)
+        if not m:
+            continue
+        pfx, num = m.group(1), m.group(2)
+        dst = os.path.join(out_dir, f"{pfx}_{num}")
+        os.makedirs(dst, exist_ok=True)
+        shutil.copy(os.path.join(in_dir, "left", fn), os.path.join(dst, "left.tiff"))
+        shutil.copy(
+            os.path.join(in_dir, "right", f"{pfx}_right_{num}.tiff"),
+            os.path.join(dst, "right.tiff"),
+        )
+        shutil.copy(
+            os.path.join(in_dir, "disp", f"{pfx}_disparity_{num}.tiff"),
+            os.path.join(dst, "disp_L.tiff"),
+        )
+        count += 1
+    return count
+
+
+def aggregate_metrics(eval_dir: str) -> dict:
+    """Average all ``*_metrics.txt`` files the evaluation driver wrote
+    (reference utils/estimate_eval.py)."""
+    sums: dict[str, float] = {}
+    n = 0
+    for fn in sorted(os.listdir(eval_dir)):
+        if not fn.endswith("_metrics.txt"):
+            continue
+        with open(os.path.join(eval_dir, fn)) as f:
+            for line in f:
+                if ":" not in line:
+                    continue
+                k, v = line.split(":", 1)
+                sums[k.strip()] = sums.get(k.strip(), 0.0) + float(v)
+        n += 1
+    if n == 0:
+        return {}
+    return {k: v / n for k, v in sums.items()}
