@@ -23,6 +23,9 @@ __all__ = [
 
 DATASETS = [
     "sceneflow",
+    "kitti15",
+    "kitti12",
+    "middlebury",
     "sceneflow_part",
     "sceneflow_legacy",
     "satellite",

@@ -118,7 +118,7 @@ def main(argv=None) -> int:
         state = state.replace(params=merged["params"], batch_stats=merged["batch_stats"])
         print(f"resumed from {args.resume}", flush=True)
 
-    train_step = make_train_step(args.maxdisp, mesh=mesh)
+    train_step = make_train_step(args.maxdisp, mesh=mesh, edge_loss_w=args.edge_loss_w)
     eval_step = make_eval_step(args.maxdisp, mesh=val_mesh)
 
     def save(kind: str, epoch: int):

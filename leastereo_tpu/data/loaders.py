@@ -23,6 +23,9 @@ __all__ = [
     "load_new_tagil",
     "load_whu",
     "load_whu2new_tagil",
+    "load_kitti2015",
+    "load_kitti2012",
+    "load_middlebury",
     "LOADERS",
     "uses_left_disparity",
 ]
@@ -152,8 +155,48 @@ def load_whu2new_tagil(root: str, rel: str) -> np.ndarray:
     return _finish(stack, disp_l, disp_r)
 
 
+def load_kitti2015(root: str, rel: str) -> np.ndarray:
+    """KITTI 2015 training: ``image_2/<frame>.png`` left, ``image_3`` right,
+    ``disp_occ_0`` uint16 disparity / 256 with 0 = invalid (upstream LEAStereo
+    KITTI fine-tune semantics; the fork's stale train_kitti15.sh — capability
+    rebuilt per SURVEY.md §5 config quirk note)."""
+    name = os.path.basename(rel)
+    left = _open_image(os.path.join(root, "image_2", name))
+    right = _open_image(os.path.join(root, "image_3", name))
+    disp = np.asarray(
+        _open_image(os.path.join(root, "disp_occ_0", name)), np.float32
+    ) / 256.0
+    return _finish(standardize_stack(left, right), disp, 2 * left.shape[1])
+
+
+def load_kitti2012(root: str, rel: str) -> np.ndarray:
+    """KITTI 2012 training: ``colored_0/1`` pair + ``disp_occ`` / 256."""
+    name = os.path.basename(rel)
+    left = _open_image(os.path.join(root, "colored_0", name))
+    right = _open_image(os.path.join(root, "colored_1", name))
+    disp = np.asarray(_open_image(os.path.join(root, "disp_occ", name)), np.float32) / 256.0
+    return _finish(standardize_stack(left, right), disp, 2 * left.shape[1])
+
+
+def load_middlebury(root: str, rel: str) -> np.ndarray:
+    """Middlebury MiddEval3: per-scene dir with ``im0.png``/``im1.png`` and
+    ``disp0GT.pfm`` (inf = invalid -> occlusion sentinel). The maxdisp-408
+    configuration (reference train_md.sh:6, predict_md.sh) pairs with the
+    disparity-sharded mesh axis for full-resolution frames."""
+    d = os.path.join(root, rel)
+    left = _open_image(os.path.join(d, "im0.png"))
+    right = _open_image(os.path.join(d, "im1.png"))
+    disp = read_pfm(os.path.join(d, "disp0GT.pfm")).copy()
+    width = left.shape[1]
+    disp[~np.isfinite(disp)] = 2 * width
+    return _finish(standardize_stack(left, right), disp, 2 * width)
+
+
 LOADERS = {
     "sceneflow": load_sceneflow,
+    "kitti15": load_kitti2015,
+    "kitti12": load_kitti2012,
+    "middlebury": load_middlebury,
     "sceneflow_part": load_sceneflow,
     "sceneflow_legacy": load_sceneflow_legacy,
     "dfc2019": load_dfc2019,

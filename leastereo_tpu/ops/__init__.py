@@ -8,7 +8,7 @@ from .resize import (
     upsample2x_2d,
     upsample2x_3d,
 )
-from .softargmin import soft_argmin, soft_argmin_fast
+from .softargmin import disparity_entropy, soft_argmin, soft_argmin_fast
 
 __all__ = [
     "ConvBR",
@@ -20,6 +20,7 @@ __all__ = [
     "scale_dimension",
     "upsample2x_2d",
     "upsample2x_3d",
+    "disparity_entropy",
     "soft_argmin",
     "soft_argmin_fast",
 ]

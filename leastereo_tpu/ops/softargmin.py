@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from .resize import resize2d, upsample3x_axis
 
-__all__ = ["soft_argmin", "soft_argmin_fast"]
+__all__ = ["soft_argmin", "soft_argmin_fast", "disparity_entropy"]
 
 
 def soft_argmin(cost: jnp.ndarray, maxdisp: int) -> jnp.ndarray:
@@ -71,3 +71,26 @@ def soft_argmin_fast(cost: jnp.ndarray, maxdisp: int) -> jnp.ndarray:
     low = jnp.sum(p * disp, axis=1) * (maxdisp / d)  # (B, h, w)
     up = resize2d(low[..., None], (3 * h, 3 * w), align_corners=False)[..., 0]
     return up
+
+
+def disparity_entropy(cost: jnp.ndarray, maxdisp: int) -> jnp.ndarray:
+    """Per-pixel softmin-normalized entropy of the disparity distribution —
+    a confidence map (low entropy = confident match).
+
+    Parity with reference ``DispEntropy`` (models/build_model_2d.py:11-24)
+    minus its cuda-only tensor bug: trilinear upsample to full resolution,
+    entropy of softmax over disparities (NaN-masked to 0), softmin-normalized
+    over the disparity axis collapsed to (B, 3h, 3w).
+    """
+    if maxdisp != 3 * cost.shape[1]:
+        raise ValueError(f"maxdisp {maxdisp} != 3 * D ({cost.shape[1]})")
+    x = cost[..., 0].astype(jnp.float32)  # (B, D, h, w)
+    x = upsample3x_axis(x, 1)
+    x = upsample3x_axis(x, 2)
+    x = upsample3x_axis(x, 3)
+    logp = jax.nn.log_softmax(x, axis=1)
+    e = -jnp.sum(jnp.exp(logp) * logp, axis=1)  # (B, 3h, 3w)
+    e = jnp.where(jnp.isnan(e), 0.0, e)
+    # Softmin over the spatial entropy map (reference applies Softmin(dim=1)
+    # to the (B, 3h, 3w) map, i.e. across rows).
+    return jax.nn.softmax(-e, axis=1)

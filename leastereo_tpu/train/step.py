@@ -20,7 +20,7 @@ from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..parallel.mesh import DATA_AXIS
-from .losses import masked_smooth_l1
+from .losses import edge_aware_smoothness_loss, masked_smooth_l1
 from .metrics import epe, three_px_error
 
 
@@ -70,11 +70,18 @@ def make_optimizer(
     return tx
 
 
-def make_train_step(maxdisp: int, mesh: Mesh | None = None, donate: bool = True):
+def make_train_step(
+    maxdisp: int,
+    mesh: Mesh | None = None,
+    donate: bool = True,
+    edge_loss_w: float = 0.0,
+):
     """Build the jitted train step.
 
     Returns ``step(state, batch) -> (state, metrics)`` where ``batch`` is a
     dict of NHWC ``left``, ``right`` and ``(B, H, W)`` ``disparity``.
+    ``edge_loss_w`` > 0 adds the edge-aware smoothness term (reference
+    train.py:107-113 combined loss, edge_detection.py:68-74).
     """
 
     def train_step(state: TrainState, batch):
@@ -88,6 +95,10 @@ def make_train_step(maxdisp: int, mesh: Mesh | None = None, donate: bool = True)
             )
             disp = disp.astype(jnp.float32)
             loss = masked_smooth_l1(disp, batch["disparity"], maxdisp)
+            if edge_loss_w:
+                loss = loss + edge_loss_w * edge_aware_smoothness_loss(
+                    disp, batch["disparity"], maxdisp
+                )
             return loss, (updates["batch_stats"], disp)
 
         (loss, (new_stats, disp)), grads = jax.value_and_grad(loss_fn, has_aux=True)(

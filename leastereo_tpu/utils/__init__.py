@@ -1,9 +1,12 @@
+from .classic_eval import midd_eval_average, midd_eval_sample
 from .checkpoint import latest_step, restore_checkpoint, save_checkpoint, tolerant_merge
 from .colorize import colorize_disparity, turbo_colormap
 from .experiment import EarlyStopping, ExperimentSaver
 from .profiling import cost_analysis, count_params, model_flops, param_size_mb
 
 __all__ = [
+    "midd_eval_average",
+    "midd_eval_sample",
     "latest_step",
     "restore_checkpoint",
     "save_checkpoint",

@@ -299,3 +299,55 @@ def test_build_satellite_lists(tmp_path):
         for n in ("search_arch", "search_weights", "train", "val", "test")
     }
     assert sizes == {"search_arch": 3, "search_weights": 3, "train": 2, "val": 1, "test": 1}
+
+
+def test_kitti15_loader(tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    for d in ("image_2", "image_3", "disp_occ_0"):
+        (tmp_path / d).mkdir()
+    name = "000000_10.png"
+    for d in ("image_2", "image_3"):
+        Image.fromarray(rng.randint(0, 255, (20, 40, 3)).astype(np.uint8)).save(tmp_path / d / name)
+    disp16 = (rng.rand(20, 40) * 50 * 256).astype(np.uint16)
+    disp16[0, 0] = 0  # invalid pixel
+    Image.fromarray(disp16).save(tmp_path / "disp_occ_0" / name)
+
+    from leastereo_tpu.data.loaders import load_kitti2015
+
+    stack = load_kitti2015(str(tmp_path), f"image_2/{name}")
+    assert stack.shape == (8, 20, 40)
+    np.testing.assert_allclose(stack[6], disp16.astype(np.float32) / 256.0)
+    assert stack[6][0, 0] == 0  # invalid stays 0 -> excluded by validity mask
+
+
+def test_middlebury_loader(tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    scene = tmp_path / "Adirondack"
+    scene.mkdir()
+    for n in ("im0.png", "im1.png"):
+        Image.fromarray(rng.randint(0, 255, (16, 24, 3)).astype(np.uint8)).save(scene / n)
+    disp = (rng.rand(16, 24) * 100).astype(np.float32)
+    disp[0, 0] = np.inf  # invalid
+    write_pfm(scene / "disp0GT.pfm", disp)
+
+    from leastereo_tpu.data.loaders import load_middlebury
+
+    stack = load_middlebury(str(tmp_path), "Adirondack")
+    assert stack[6][0, 0] == 2 * 24  # inf -> occlusion sentinel
+    np.testing.assert_allclose(stack[6][1:], disp[1:], rtol=1e-6)
+
+
+def test_disparity_entropy_shape():
+    import jax.numpy as jnp
+
+    from leastereo_tpu.ops import disparity_entropy
+
+    rng = np.random.RandomState(0)
+    cost = jnp.asarray(rng.randn(1, 8, 6, 10, 1), jnp.float32)
+    e = disparity_entropy(cost, 24)
+    assert e.shape == (1, 18, 30)
+    assert np.isfinite(np.asarray(e)).all()
