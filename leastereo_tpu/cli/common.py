@@ -70,3 +70,20 @@ class Timer:
 
     def __exit__(self, *exc):
         self.seconds = time.perf_counter() - self.t0
+
+
+def log_disparity_image(logs_dir: str, tag: str, step: int, disp) -> str:
+    """Save a turbo-colormapped disparity render under the logs dir — the
+    image-summary analog of reference utils/summaries.py:44-48."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from ..utils import colorize_disparity
+
+    d = os.path.join(logs_dir, "images")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"{tag}_{step:06d}.png")
+    Image.fromarray(colorize_disparity(np.asarray(disp))).save(path)
+    return path

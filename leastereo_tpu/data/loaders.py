@@ -43,16 +43,29 @@ def _finish(stack: np.ndarray, disp_left, disp_right) -> np.ndarray:
     return stack
 
 
+def _load_png_pfm_pair(left_png, right_png, disp_l_pfm, disp_r_pfm) -> np.ndarray:
+    """PNG pair + PFM disparities -> 8-channel stack. Uses the native C++
+    decoder (data/native.py) when built; Python fallback otherwise."""
+    from .native import load_stereo_sample_native, native_available
+
+    if native_available():
+        return load_stereo_sample_native(left_png, right_png, disp_l_pfm, disp_r_pfm)
+    left = _open_image(left_png)
+    right = _open_image(right_png)
+    return _finish(standardize_stack(left, right), read_pfm(disp_l_pfm), read_pfm(disp_r_pfm))
+
+
 def load_sceneflow(root: str, rel: str) -> np.ndarray:
     """SceneFlow layout: ``frames_finalpass/<scene>/left/<name>.png`` with
     PFM disparities under ``disparity/`` (reference stereo.py:14-54)."""
     scene = rel.split("/", 1)[1].rsplit("/", 2)[0]
     name = os.path.splitext(os.path.basename(rel))[0]
-    left = _open_image(os.path.join(root, "frames_finalpass", scene, "left", f"{name}.png"))
-    right = _open_image(os.path.join(root, "frames_finalpass", scene, "right", f"{name}.png"))
-    disp_l = read_pfm(os.path.join(root, "disparity", scene, "left", f"{name}.pfm"))
-    disp_r = read_pfm(os.path.join(root, "disparity", scene, "right", f"{name}.pfm"))
-    return _finish(standardize_stack(left, right), disp_l, disp_r)
+    return _load_png_pfm_pair(
+        os.path.join(root, "frames_finalpass", scene, "left", f"{name}.png"),
+        os.path.join(root, "frames_finalpass", scene, "right", f"{name}.png"),
+        os.path.join(root, "disparity", scene, "left", f"{name}.pfm"),
+        os.path.join(root, "disparity", scene, "right", f"{name}.pfm"),
+    )
 
 
 def load_sceneflow_legacy(root: str, rel: str) -> np.ndarray:
@@ -61,11 +74,12 @@ def load_sceneflow_legacy(root: str, rel: str) -> np.ndarray:
     stereo.py:57-94; used by the in-repo ``sceneflow_part`` demo data)."""
     base = os.path.join(root, "frames_finalpass", "35mm_forward_fast")
     dbase = os.path.join(root, "disparity", "35mm_forward_fast")
-    left = _open_image(os.path.join(base, "left", f"{rel}.png"))
-    right = _open_image(os.path.join(base, "right", f"{rel}.png"))
-    disp_l = read_pfm(os.path.join(dbase, "left", f"{rel}.pfm"))
-    disp_r = read_pfm(os.path.join(dbase, "right", f"{rel}.pfm"))
-    return _finish(standardize_stack(left, right), disp_l, disp_r)
+    return _load_png_pfm_pair(
+        os.path.join(base, "left", f"{rel}.png"),
+        os.path.join(base, "right", f"{rel}.png"),
+        os.path.join(dbase, "left", f"{rel}.pfm"),
+        os.path.join(dbase, "right", f"{rel}.pfm"),
+    )
 
 
 def load_dfc2019(root: str, rel: str) -> np.ndarray:

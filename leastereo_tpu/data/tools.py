@@ -114,3 +114,38 @@ def aggregate_metrics(eval_dir: str) -> dict:
     if n == 0:
         return {}
     return {k: v / n for k, v in sums.items()}
+
+
+def render_new_tagil_previews(dataset_dir: str, out_dir: str) -> int:
+    """8-bit preview renders of the 16/32-bit Tagil tifs
+    (reference dataloaders/new_tagil_render.py)."""
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    count = 0
+    for entry in sorted(os.scandir(dataset_dir), key=lambda e: e.name):
+        if not entry.is_dir() or entry.name.startswith("."):
+            continue
+        for fn in ("img_L.tif", "img_R.tif"):
+            src = os.path.join(entry.path, fn)
+            if not os.path.exists(src):
+                continue
+            arr = np.asarray(Image.open(src), np.float32)
+            lo, hi = np.nanpercentile(arr, [1, 99])
+            arr = np.clip((arr - lo) / max(hi - lo, 1e-6) * 255, 0, 255).astype(np.uint8)
+            Image.fromarray(arr).save(os.path.join(out_dir, f"{entry.name}_{fn}.png"))
+            count += 1
+    return count
+
+
+def make_satellite_list(dataset_dir: str, out_dir: str, seed: int = 0, train_frac: float = 0.9) -> None:
+    """90/10 train/val split over per-sample dirs
+    (reference utils/make_satellite_list.py)."""
+    from .lists import write_list
+
+    rng = np.random.default_rng(seed)
+    names = sorted(d for d in next(os.walk(dataset_dir))[1] if not d.startswith("."))
+    rng.shuffle(names)
+    n_train = int(len(names) * train_frac)
+    write_list(out_dir, "train", names[:n_train])
+    write_list(out_dir, "val", names[n_train:])

@@ -351,3 +351,34 @@ def test_disparity_entropy_shape():
     e = disparity_entropy(cost, 24)
     assert e.shape == (1, 18, 30)
     assert np.isfinite(np.asarray(e)).all()
+
+
+def test_native_loader_matches_python(tmp_path):
+    """Native C++ PNG+PFM loader vs the Python path on a real synthetic tree."""
+    from leastereo_tpu.data.native import native_available
+
+    if not native_available():
+        pytest.skip("native library not built (scripts/build_native.sh)")
+    rels = _make_sceneflow_tree(tmp_path)
+    from leastereo_tpu.data.loaders import (
+        _finish,
+        _load_png_pfm_pair,
+        _open_image,
+    )
+    from leastereo_tpu.data.native import load_stereo_sample_native
+
+    scene = "TRAIN/A/0001"
+    paths = [
+        str(tmp_path / "frames_finalpass" / scene / "left" / "0001.png"),
+        str(tmp_path / "frames_finalpass" / scene / "right" / "0001.png"),
+        str(tmp_path / "disparity" / scene / "left" / "0001.pfm"),
+        str(tmp_path / "disparity" / scene / "right" / "0001.pfm"),
+    ]
+    native = load_stereo_sample_native(*paths)
+    want = _finish(
+        standardize_stack(_open_image(paths[0]), _open_image(paths[1])),
+        read_pfm(paths[2]),
+        read_pfm(paths[3]),
+    )
+    assert native.shape == want.shape
+    np.testing.assert_allclose(native, want, rtol=1e-4, atol=1e-4)
