@@ -20,7 +20,13 @@ __all__ = ["build_model", "MetricLogger", "Timer"]
 
 def build_model(args) -> LEAStereo:
     """Model from arch .npy flags, falling back to the shipped best
-    architecture (reference retrain/LEAStereo.py:16-21)."""
+    architecture (reference retrain/LEAStereo.py:16-21).
+
+    With ``--mesh_disp > 1`` the cost volume's disparity axis is sharded over
+    the mesh's ``disp`` axis (the CP analog for maxdisp-408 Middlebury frames,
+    SURVEY.md §2.4); the caller must run the model under
+    ``jax.sharding.set_mesh`` of a mesh from ``parallel.make_mesh``."""
+    mesh_disp = getattr(args, "mesh_disp", 1) or 1
     cfg = LEAStereoConfig(
         maxdisp=args.maxdisp,
         fea_filter_multiplier=args.fea_filter_multiplier,
@@ -31,6 +37,7 @@ def build_model(args) -> LEAStereo:
         mat_steps=args.mat_step,
         compute_dtype=args.dtype,
         fast_head=getattr(args, "fast_head", False),
+        cost_volume_pspec=("data", "disp") if mesh_disp > 1 else None,
     )
     if args.net_arch_fea and args.cell_arch_fea:
         fea = load_architecture(args.net_arch_fea, args.cell_arch_fea)

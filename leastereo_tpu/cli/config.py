@@ -147,6 +147,7 @@ def predict_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Batch-free inference over a list file (reference predict.py)")
     add_model_args(p)
     add_data_args(p)
+    _add_mesh_args(p)
     p.add_argument("--checkpoint", type=str, default="", help="checkpoint dir (empty: random init)")
     p.add_argument("--output_dir", type=str, default="predictions")
     p.add_argument("--split", type=str, default="test", choices=["train", "val", "test"])

@@ -61,30 +61,46 @@ def main(argv=None) -> int:
         training=False,
     )
 
+    # Disparity-sharded inference (the CP analog for large maxdisp frames,
+    # reference predict_md.sh's maxdisp-408 Middlebury config): with
+    # --mesh_disp N the stem/cost volume's D axis spreads over N devices and
+    # XLA inserts the halo exchanges for the 3D convolutions.
+    from contextlib import nullcontext
+
+    from ..parallel import make_mesh
+
+    mesh_disp = getattr(args, "mesh_disp", 1) or 1
+    mesh_data = getattr(args, "mesh_data", None)
+    if mesh_disp > 1 or (mesh_data or 0) > 1:
+        mesh_ctx = jax.sharding.set_mesh(make_mesh(data=mesh_data or 1, disp=mesh_disp))
+    else:
+        mesh_ctx = nullcontext()
+
     model = build_model(args)
-    sample = np.zeros((1, args.crop_height, args.crop_width, 3), np.float32)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), sample, sample)
-    if args.checkpoint:
-        template = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
-        variables = dict(tolerant_merge(template, restore_checkpoint(args.checkpoint, template)))
-        print(f"loaded checkpoint {args.checkpoint}", flush=True)
-    fwd = make_forward(model, variables)
+    with mesh_ctx:
+        sample = np.zeros((1, args.crop_height, args.crop_width, 3), np.float32)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), sample, sample)
+        if args.checkpoint:
+            template = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+            variables = dict(tolerant_merge(template, restore_checkpoint(args.checkpoint, template)))
+            print(f"loaded checkpoint {args.checkpoint}", flush=True)
+        fwd = make_forward(model, variables)
 
-    os.makedirs(args.output_dir, exist_ok=True)
-    from PIL import Image
+        os.makedirs(args.output_dir, exist_ok=True)
+        from PIL import Image
 
-    from ..data.loaders import uses_left_disparity
+        from ..data.loaders import uses_left_disparity
 
-    use_left = uses_left_disparity(args.dataset)
-    for i in range(len(ds)):
-        stack = ds.load_stack(i)
-        with Timer() as t:
-            disp = run_frame(fwd, stack, args.crop_height, args.crop_width, use_left)
-            disp = np.asarray(disp)
-        name = ds.entries[i].replace("/", "_")
-        Image.fromarray(colorize_disparity(disp)).save(os.path.join(args.output_dir, f"{name}.png"))
-        np.save(os.path.join(args.output_dir, f"{name}.npy"), disp)
-        print(f"{ds.entries[i]}: {t.seconds:.3f}s  disp[{disp.min():.1f}, {disp.max():.1f}]", flush=True)
+        use_left = uses_left_disparity(args.dataset)
+        for i in range(len(ds)):
+            stack = ds.load_stack(i)
+            with Timer() as t:
+                disp = run_frame(fwd, stack, args.crop_height, args.crop_width, use_left)
+                disp = np.asarray(disp)
+            name = ds.entries[i].replace("/", "_")
+            Image.fromarray(colorize_disparity(disp)).save(os.path.join(args.output_dir, f"{name}.png"))
+            np.save(os.path.join(args.output_dir, f"{name}.npy"), disp)
+            print(f"{ds.entries[i]}: {t.seconds:.3f}s  disp[{disp.min():.1f}, {disp.max():.1f}]", flush=True)
     return 0
 
 

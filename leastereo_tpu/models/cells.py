@@ -39,6 +39,40 @@ class FixedCell(nn.Module):
     ndim: int = 2  # 2 -> NHWC feature cell, 3 -> NDHWC matching cell
     dtype: jnp.dtype = jnp.bfloat16
 
+    def _project_resize(
+        self,
+        x: jnp.ndarray,
+        size: tuple[int, ...],
+        name: str,
+        *,
+        project: bool,
+        train: bool,
+    ) -> jnp.ndarray:
+        """Resize ``x`` to ``size`` and 1x1-project to ``c_out``.
+
+        Reference order is resize -> conv -> BN -> ReLU
+        (retrain/new_model_2d.py:47-54). In eval mode, conv1x1 + running-stat
+        BN are channel-affine-linear and the (bi/tri)linear resize is a convex
+        spatial combination, so they commute *exactly*; when upsampling we
+        therefore project first and resize the (usually 4-8x narrower)
+        projected tensor — identical output, a fraction of the resize
+        traffic. Train mode keeps the reference order so BN batch statistics
+        are computed on the same tensor as the reference.
+        """
+        kw = dict(dtype=self.dtype)
+        one = (1,) * self.ndim
+        need_resize = x.shape[1:-1] != tuple(size)
+        upsample = need_resize and size[-1] > x.shape[-2]
+        if not project:
+            return _resize(x, size, self.ndim) if need_resize else x
+        if need_resize and upsample and not train:
+            x = ConvBR(self.c_out, one, 1, 0, use_relu=False, name=name, **kw)(x, train=False)
+            x = _resize(x, size, self.ndim)
+            return nn.relu(x)
+        if need_resize:
+            x = _resize(x, size, self.ndim)
+        return ConvBR(self.c_out, one, 1, 0, name=name, **kw)(x, train=train)
+
     @nn.compact
     def __call__(self, s0: jnp.ndarray, s1: jnp.ndarray, *, train: bool = False):
         kw = dict(dtype=self.dtype)
@@ -47,14 +81,12 @@ class FixedCell(nn.Module):
         if self.downup_sample != 0:
             scale = 0.5 if self.downup_sample == -1 else 2.0
             size = tuple(scale_dimension(d, scale) for d in s1.shape[1:-1])
-            s1 = _resize(s1, size, self.ndim)
-        if s0.shape[1:-1] != s1.shape[1:-1]:
-            s0 = _resize(s0, s1.shape[1:-1], self.ndim)
-
-        one = (1,) * self.ndim
-        if s0.shape[-1] != self.c_out:
-            s0 = ConvBR(self.c_out, one, 1, 0, name="pre_preprocess", **kw)(s0, train=train)
-        s1 = ConvBR(self.c_out, one, 1, 0, name="preprocess", **kw)(s1, train=train)
+        else:
+            size = tuple(s1.shape[1:-1])
+        s0 = self._project_resize(
+            s0, size, "pre_preprocess", project=s0.shape[-1] != self.c_out, train=train
+        )
+        s1 = self._project_resize(s1, size, "preprocess", project=True, train=train)
 
         # DAG: node i sums the op outputs of its active incoming edges
         # (reference retrain/new_model_2d.py:55-72). Ops pair with edges

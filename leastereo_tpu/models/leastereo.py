@@ -36,6 +36,10 @@ class LEAStereoConfig:
     mat_steps: int = 3
     compute_dtype: str = "bfloat16"
     fast_head: bool = False  # soft_argmin_fast serving mode
+    # Fuse cost-volume construction into the matching stem (exact same math,
+    # the 5-D volume never materialises — see ops/fused_stem.py). Disable to
+    # force the reference-shaped explicit volume path.
+    fused_stem: bool = True
     # Optional PartitionSpec (as a tuple of axis names / None) constraining the
     # (B, D, H, W, 2C) cost volume, e.g. ("data", "disp") shards the disparity
     # axis across the mesh — the CP-analog for maxdisp-408 Middlebury frames
@@ -71,11 +75,14 @@ class LEAStereo(nn.Module):
         f_left = feature(left, train=train)
         f_right = feature(right, train=train)
 
-        cost = build_cost_volume(f_left, f_right, cfg.maxdisp // 3)
-        if cfg.cost_volume_pspec is not None:
-            cost = jax.lax.with_sharding_constraint(
-                cost, jax.sharding.PartitionSpec(*cfg.cost_volume_pspec)
-            )
+        if cfg.fused_stem:
+            cost = (f_left, f_right, cfg.maxdisp // 3)
+        else:
+            cost = build_cost_volume(f_left, f_right, cfg.maxdisp // 3)
+            if cfg.cost_volume_pspec is not None:
+                cost = jax.lax.with_sharding_constraint(
+                    cost, jax.sharding.PartitionSpec(*cfg.cost_volume_pspec)
+                )
 
         mat = MatchingNet(
             genotype=self.matching_arch,
@@ -83,6 +90,7 @@ class LEAStereo(nn.Module):
             block_multiplier=cfg.mat_block_multiplier,
             steps=cfg.mat_steps,
             dtype=dtype,
+            volume_pspec=cfg.cost_volume_pspec,
             name="matching",
         )(cost, train=train)
 

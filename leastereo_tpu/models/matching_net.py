@@ -12,9 +12,11 @@ cost at the volume's native resolution.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-from ..ops.convbr import ConvBR
+from ..ops.convbr import ConvBR, conv_init
+from ..ops.fused_stem import fused_cost_volume_stem
 from ..ops.resize import resize3d
 from .cells import FixedCell
 from .genotypes import FILTER_SCALE, Architecture
@@ -25,6 +27,50 @@ from .genotypes import FILTER_SCALE, Architecture
 DEFAULT_SKIPS = ((1, 4), (4, 8))
 
 
+class _FusedVolumeConv(nn.Module):
+    """The stem0 convolution computed straight from the stereo features via
+    ``ops/fused_stem.py`` — the 5-D cost volume never materialises. Parameter
+    tree identical to the ``nn.Conv`` inside ``ConvBR`` (``conv/kernel``,
+    DHWIO ``(3,3,3,2C,F)``) so checkpoints are interchangeable with the
+    unfused path."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, left: jnp.ndarray, right: jnp.ndarray, num_disp: int) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", conv_init, (3, 3, 3, 2 * left.shape[-1], self.features), jnp.float32
+        )
+        return fused_cost_volume_stem(
+            left.astype(self.dtype), right.astype(self.dtype), kernel.astype(self.dtype), num_disp
+        )
+
+
+class FusedStem0(nn.Module):
+    """Cost-volume + stem0 ConvBR (conv + BN + ReLU), fused. Drop-in for
+    ``ConvBR(ifm, (3,3,3), 1, 1)`` applied to ``build_cost_volume(L, R, D)``
+    (reference ``models/build_model.py:56-65`` + ``skip_model_3d.py:137``)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self, left: jnp.ndarray, right: jnp.ndarray, num_disp: int, *, train: bool = False
+    ) -> jnp.ndarray:
+        x = _FusedVolumeConv(self.features, self.dtype, name="conv")(left, right, num_disp)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x)
+        return nn.relu(x.astype(self.dtype))
+
+
 class MatchingNet(nn.Module):
     genotype: Architecture
     filter_multiplier: int = 8
@@ -32,14 +78,30 @@ class MatchingNet(nn.Module):
     steps: int = 3
     skips: tuple[tuple[int, int], ...] = DEFAULT_SKIPS
     dtype: jnp.dtype = jnp.bfloat16
+    # Optional PartitionSpec axes constraining the (B, D, H, W, C) volume
+    # after stem0 — the disparity-sharded CP analog (SURVEY.md §2.4).
+    volume_pspec: tuple | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x, *, train: bool = False) -> jnp.ndarray:
+        """``x``: either the materialised cost volume ``(B, D, H, W, 2C)`` or a
+        ``(left_features, right_features, num_disp)`` tuple, in which case the
+        volume construction fuses into stem0 (never materialised)."""
         kw = dict(dtype=self.dtype)
         ifm = self.filter_multiplier * self.block_multiplier
         skips = {tgt: src for src, tgt in self.skips}
 
-        stem0 = ConvBR(ifm, (3, 3, 3), 1, 1, name="stem0", **kw)(x, train=train)
+        if isinstance(x, tuple):
+            left, right, num_disp = x
+            d, h, w = num_disp, left.shape[1], left.shape[2]
+            stem0 = FusedStem0(ifm, name="stem0", **kw)(left, right, num_disp, train=train)
+        else:
+            d, h, w = x.shape[1], x.shape[2], x.shape[3]
+            stem0 = ConvBR(ifm, (3, 3, 3), 1, 1, name="stem0", **kw)(x, train=train)
+        if self.volume_pspec is not None:
+            stem0 = jax.lax.with_sharding_constraint(
+                stem0, jax.sharding.PartitionSpec(*self.volume_pspec)
+            )
         stem1 = ConvBR(ifm, (3, 3, 3), 1, 1, name="stem1", **kw)(stem0, train=train)
 
         concats: list[jnp.ndarray] = []  # original concat output of each cell
@@ -65,7 +127,6 @@ class MatchingNet(nn.Module):
             s0, s1 = prev_raw, concat
 
         last = concats[-1]
-        d, h, w = x.shape[1], x.shape[2], x.shape[3]
         level = self.genotype.network_path[-1]
 
         if level >= 3:

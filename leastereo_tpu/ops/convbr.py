@@ -19,12 +19,43 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from .conv3d import conv3d_decomposed
+
 __all__ = ["ConvBR", "conv_init"]
 
 # Kaiming-normal, fan_out, relu gain — parity with torch
 # nn.init.kaiming_normal_(w, mode='fan_out', nonlinearity='relu')
 # (reference models/operations_2d.py:48-54).
 conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+
+
+class _Conv3D(nn.Module):
+    """Stride-1 3D conv computed depth-decomposed (see ``ops/conv3d.py``).
+
+    Drop-in for ``nn.Conv`` (same ``kernel`` param name/shape/init, DHWIO),
+    chosen by ConvBR for every stride-1 3D convolution: XLA's native 3D conv
+    lowering on TPU leaves ~1.5x on the table vs the folded-2D form.
+    """
+
+    features: int
+    kernel_size: tuple[int, int, int]
+    padding: tuple[tuple[int, int], ...]
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            conv_init,
+            (*self.kernel_size, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        return conv3d_decomposed(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            spatial_padding=(self.padding[1], self.padding[2]),
+            depth_padding=self.padding[0],
+        )
 
 
 class ConvBR(nn.Module):
@@ -54,17 +85,26 @@ class ConvBR(nn.Module):
             # strided convs (feature stem1, stride 3 pad 1,
             # reference retrain/new_model_2d.py:94) the two differ.
             padding = ((padding, padding),) * len(self.kernel_size)
-        x = nn.Conv(
-            features=self.features,
-            kernel_size=tuple(self.kernel_size),
-            strides=tuple(strides),
-            padding=padding,
-            use_bias=False,
-            kernel_init=conv_init,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
+        if len(self.kernel_size) == 3 and tuple(strides) == (1, 1, 1):
+            x = _Conv3D(
+                features=self.features,
+                kernel_size=tuple(self.kernel_size),
+                padding=tuple(padding),
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                features=self.features,
+                kernel_size=tuple(self.kernel_size),
+                strides=tuple(strides),
+                padding=padding,
+                use_bias=False,
+                kernel_init=conv_init,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv",
+            )(x)
         if self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not train,

@@ -26,6 +26,20 @@ from .resize import resize2d, upsample3x_axis
 __all__ = ["soft_argmin", "soft_argmin_fast", "disparity_entropy"]
 
 
+def _edge_shift(x: jnp.ndarray, axis: int, delta: int) -> jnp.ndarray:
+    """x[i + delta] with edge replication along ``axis`` (delta in {-1, +1})."""
+    n = x.shape[axis]
+    sl = [slice(None)] * x.ndim
+    edge = [slice(None)] * x.ndim
+    if delta == -1:
+        sl[axis] = slice(0, n - 1)
+        edge[axis] = slice(0, 1)
+        return jnp.concatenate([x[tuple(edge)], x[tuple(sl)]], axis=axis)
+    sl[axis] = slice(1, n)
+    edge[axis] = slice(n - 1, n)
+    return jnp.concatenate([x[tuple(sl)], x[tuple(edge)]], axis=axis)
+
+
 def soft_argmin(cost: jnp.ndarray, maxdisp: int) -> jnp.ndarray:
     """Exact-parity disparity regression.
 
@@ -38,21 +52,42 @@ def soft_argmin(cost: jnp.ndarray, maxdisp: int) -> jnp.ndarray:
       (``models/build_model_2d.py:52-57``).
 
     The trilinear align_corners=False upsample is exactly 3x in every axis,
-    so it decomposes into three phase-interleaved shift-adds
-    (``upsample3x_axis``) — no matmuls or layout copies. fp32 throughout:
-    sub-pixel expectation accuracy is the model's headline metric.
+    so it decomposes into three phase-interleaved shift-adds per axis. The
+    spatial axes are upsampled with the disparity axis kept innermost (TPU
+    lane dimension); the disparity-axis upsample, softmin and expectation
+    are then computed phase-wise so the ``(B, maxdisp, 3h, 3w)`` tensor —
+    the reference implementation's biggest memory spike — never exists:
+    for phase costs ``a_r[i]`` (r in {0,1,2}, the align_corners=False 3x
+    blends of adjacent low-res costs), softmin expectation over d' = 3i+r
+    reassociates into sums of ``(3i+r) * exp(m - a_r[i])`` over i. Same
+    real-number math as the reference, fp32 throughout: sub-pixel
+    expectation accuracy is the model's headline metric.
     """
-    if maxdisp != 3 * cost.shape[1]:
+    dn = cost.shape[1]
+    if maxdisp != 3 * dn:
         raise ValueError(f"maxdisp {maxdisp} != 3 * D ({cost.shape[1]})")
     x = cost[..., 0].astype(jnp.float32)  # (B, D, h, w)
-    x = upsample3x_axis(x, 1)  # disparity axis
     x = upsample3x_axis(x, 2)  # H
-    x = upsample3x_axis(x, 3)  # W
-    # Softmin over disparity.
-    p = jnp.exp(jnp.negative(x) - jnp.max(-x, axis=1, keepdims=True))
-    p = p / jnp.sum(p, axis=1, keepdims=True)
-    disp = jnp.arange(maxdisp, dtype=jnp.float32)[None, :, None, None]
-    return jnp.sum(p * disp, axis=1)
+    x = upsample3x_axis(x, 3)  # W -> (B, D, 3h, 3w); w stays lane-minor
+
+    # Disparity-axis 3x phases (align_corners=False, edge-clamped).
+    xm1 = _edge_shift(x, 1, -1)
+    xp1 = _edge_shift(x, 1, +1)
+    third = jnp.float32(1.0 / 3.0)
+    a0 = (xm1 + 2.0 * x) * third  # cost at d' = 3i
+    a1 = x                        # cost at d' = 3i + 1
+    a2 = (2.0 * x + xp1) * third  # cost at d' = 3i + 2
+
+    # Softmin over all 3*D phases: p(d') = exp(m - a) / sum exp(m - a),
+    # m = min over d' (numerical stabiliser, matches max-subtracted softmax).
+    m = jnp.min(jnp.minimum(jnp.minimum(a0, a1), a2), axis=1, keepdims=True)
+    e0 = jnp.exp(m - a0)
+    e1 = jnp.exp(m - a1)
+    e2 = jnp.exp(m - a2)
+    i3 = 3.0 * jnp.arange(dn, dtype=jnp.float32)[None, :, None, None]
+    den = jnp.sum(e0 + e1 + e2, axis=1)
+    num = jnp.sum(i3 * e0 + (i3 + 1.0) * e1 + (i3 + 2.0) * e2, axis=1)
+    return num / den
 
 
 def soft_argmin_fast(cost: jnp.ndarray, maxdisp: int) -> jnp.ndarray:

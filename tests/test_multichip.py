@@ -15,6 +15,39 @@ def test_dryrun_multichip():
     __graft_entry__.dryrun_multichip(8)
 
 
+def test_disparity_sharded_inference_matches_unsharded():
+    """The CP analog (BASELINE config 4, reference predict_md.sh maxdisp-408
+    Middlebury): shard the cost volume's disparity axis over 4 devices and
+    check the predicted disparity equals the unsharded forward. Downscaled
+    Middlebury-proportioned frame; exercises the same --mesh_disp path the
+    predict/evaluate CLIs use via build_model."""
+    import jax.numpy as jnp
+
+    from leastereo_tpu.models import LEAStereoConfig, best_sceneflow_model
+    from leastereo_tpu.parallel import make_mesh
+
+    maxdisp, h, w = 48, 48, 72  # D=16 at feature res, sharded 4-way
+    rng = np.random.RandomState(1)
+    left = jnp.asarray(rng.randn(1, h, w, 3), jnp.float32)
+    right = jnp.asarray(rng.randn(1, h, w, 3), jnp.float32)
+
+    base = best_sceneflow_model(LEAStereoConfig(maxdisp=maxdisp, compute_dtype="float32"))
+    variables = base.init(jax.random.PRNGKey(0), left, right)
+    want = np.asarray(jax.jit(lambda l, r: base.apply(variables, l, r))(left, right))
+
+    sharded_model = best_sceneflow_model(
+        LEAStereoConfig(
+            maxdisp=maxdisp, compute_dtype="float32", cost_volume_pspec=("data", "disp")
+        )
+    )
+    mesh = make_mesh(data=1, disp=4)
+    with jax.sharding.set_mesh(mesh):
+        got = np.asarray(
+            jax.jit(lambda l, r: sharded_model.apply(variables, l, r))(left, right)
+        )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_data_parallel_train_step_matches_single_device():
     """Same batch, 1-device vs 8-device mesh: loss must agree."""
     import jax.numpy as jnp
