@@ -95,6 +95,12 @@ def train_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--milestones", type=int, nargs="*", default=[30, 50, 300])
     p.add_argument("--lr_gamma", type=float, default=0.5)
+    p.add_argument("--lr_scheduler", type=str, default="multistep",
+                   choices=["multistep", "cos", "poly", "step"],
+                   help="reference utils/lr_scheduler.py modes + torch MultiStepLR")
+    p.add_argument("--lr_step", type=int, default=0, help="epochs per 0.1x decay ('step' mode)")
+    p.add_argument("--warmup_epochs", type=int, default=0, help="linear LR warmup epochs")
+    p.add_argument("--min_lr", type=float, default=None, help="LR floor (before warmup scaling)")
     p.add_argument("--shift", type=int, default=0)
     p.add_argument("--left_right", action="store_true")
     p.add_argument("--seed", type=int, default=2019)
@@ -102,6 +108,12 @@ def train_parser() -> argparse.ArgumentParser:
     p.add_argument("--freeze_feature", type=int, default=0)
     p.add_argument("--freeze_matching", type=int, default=0, help="number of matching cells to freeze")
     p.add_argument("--edge_loss_w", type=float, default=0.0, help="weight of edge-aware loss")
+    p.add_argument(
+        "--val_other", type=str, action="append", default=None,
+        metavar="NAME:DATASET:LIST:ROOT[:ZSHIFT]",
+        help="extra fixed-list validation sweep per epoch, repeatable "
+        "(reference train.py:243-307 Tagil val12/34/56 sweeps)",
+    )
     p.add_argument("--experiment", type=str, default="default")
     p.add_argument("--run_root", type=str, default="run")
     p.add_argument("--patience", type=int, default=1500)
@@ -151,6 +163,13 @@ def predict_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", type=str, default="", help="checkpoint dir (empty: random init)")
     p.add_argument("--output_dir", type=str, default="predictions")
     p.add_argument("--split", type=str, default="test", choices=["train", "val", "test"])
+    p.add_argument(
+        "--full_frame",
+        action="store_true",
+        help="pad frames larger than the crop up to the next model-valid shape "
+        "and predict/evaluate the whole frame (the reference center-crops both "
+        "prediction and GT, evaluation.py:288)",
+    )
     return p
 
 

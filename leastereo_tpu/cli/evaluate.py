@@ -88,12 +88,17 @@ def main(argv=None) -> int:
     totals: list[dict] = []
     for i in range(len(ds)):
         stack = ds.load_stack(i)
-        disp = run_frame(fwd, stack, args.crop_height, args.crop_width, use_left)
+        disp = run_frame(
+            fwd, stack, args.crop_height, args.crop_width, use_left,
+            full_frame=args.full_frame,
+        )
         if args.round_disp:
             disp = np.round(disp)  # reference evaluation.py:169
         disp = disp + args.z_shift
         target = stack[6] if use_left else stack[7]
-        # Metrics on the overlap (prediction may be a center crop).
+        # Metrics on the overlap: with --full_frame the prediction covers the
+        # whole frame; otherwise it may be a center crop, and the GT is
+        # center-cropped to match (parity with reference evaluation.py:288).
         th, tw = disp.shape
         oh = (target.shape[0] - th) // 2 if target.shape[0] > th else 0
         ow = (target.shape[1] - tw) // 2 if target.shape[1] > tw else 0

@@ -31,10 +31,30 @@ def make_forward(model, variables):
     return fwd
 
 
-def run_frame(fwd, stack: np.ndarray, crop_height: int, crop_width: int, use_left: bool = True):
+def pad_to_valid(h: int, w: int, multiple: int = 12) -> tuple[int, int]:
+    """Smallest model-valid (divisible by 3, and by 4 at 1/3 res) shape >= (h, w)."""
+    return (-(-h // multiple) * multiple, -(-w // multiple) * multiple)
+
+
+def run_frame(
+    fwd,
+    stack: np.ndarray,
+    crop_height: int,
+    crop_width: int,
+    use_left: bool = True,
+    full_frame: bool = False,
+):
     """Pad-or-crop one frame, run the model, un-pad the prediction
-    (reference predict.py:144-174)."""
+    (reference predict.py:144-174).
+
+    ``full_frame=True`` is a capability superset of the reference: frames
+    larger than the crop are sentinel-padded up to the next model-valid shape
+    and evaluated whole instead of center-cropped (the reference always
+    center-crops both prediction and ground truth, evaluation.py:288).
+    """
     _, h, w = stack.shape
+    if full_frame:
+        crop_height, crop_width = pad_to_valid(max(h, crop_height), max(w, crop_width))
     left, right, _ = test_transform(stack, crop_height, crop_width, use_left=use_left)
     disp = np.asarray(fwd(left[None], right[None]), np.float32)[0]
     if h <= crop_height and w <= crop_width:
@@ -95,7 +115,10 @@ def main(argv=None) -> int:
         for i in range(len(ds)):
             stack = ds.load_stack(i)
             with Timer() as t:
-                disp = run_frame(fwd, stack, args.crop_height, args.crop_width, use_left)
+                disp = run_frame(
+                    fwd, stack, args.crop_height, args.crop_width, use_left,
+                    full_frame=getattr(args, "full_frame", False),
+                )
                 disp = np.asarray(disp)
             name = ds.entries[i].replace("/", "_")
             Image.fromarray(colorize_disparity(disp)).save(os.path.join(args.output_dir, f"{name}.png"))

@@ -21,6 +21,7 @@ from ..parallel.mesh import batch_sharding
 from ..train import (
     TrainState,
     make_eval_step,
+    make_lr_schedule,
     make_optimizer,
     make_train_step,
 )
@@ -56,15 +57,82 @@ def freeze_labels(params, freeze_feature: bool, freeze_matching: int):
 
 
 def build_tx(args, params, steps_per_epoch: int):
-    """Adam/SGD + MultiStepLR(milestones, gamma) in epoch units
-    (reference train.py:75-80), with optional freeze partition."""
-    boundaries = {m * steps_per_epoch: args.lr_gamma for m in args.milestones}
-    schedule = optax.piecewise_constant_schedule(args.lr, boundaries)
+    """Adam/SGD + LR schedule (reference train.py:75-80 MultiStepLR or
+    utils/lr_scheduler.py cos/poly/step incl. warmup), with optional freeze
+    partition."""
+    schedule = make_lr_schedule(
+        args.lr_scheduler,
+        args.lr,
+        args.epochs,
+        steps_per_epoch,
+        milestones=tuple(args.milestones),
+        gamma=args.lr_gamma,
+        lr_step=args.lr_step,
+        warmup_epochs=args.warmup_epochs,
+        min_lr=args.min_lr,
+    )
     inner = make_optimizer(args.solver, schedule)
     if args.freeze_feature or args.freeze_matching:
         labels = freeze_labels(params, bool(args.freeze_feature), args.freeze_matching)
         inner = optax.multi_transform({"train": inner, "frozen": optax.set_to_zero()}, labels)
     return inner
+
+
+def make_val_other(args, model):
+    """Extra fixed-list validation sweeps with per-sweep z_shift during
+    training (reference train.py:243-307 ``val_other``/``val_for`` — there
+    hardcoded to three Tagil subsets + ``--val12/34/56`` flags; here any
+    number of ``--val_other name:dataset:list_file:data_root[:z_shift]``
+    specs). Returns ``run(state) -> [(name, metrics), ...]`` or None."""
+    specs = getattr(args, "val_other", None) or []
+    if not specs:
+        return None
+    from .evaluate import frame_metrics
+    from .predict import run_frame
+
+    sweeps = []
+    for spec in specs:
+        parts = spec.split(":")
+        if len(parts) not in (4, 5):
+            raise ValueError(
+                f"--val_other expects name:dataset:list_file:data_root[:z_shift], got {spec!r}"
+            )
+        name, dataset, list_file, root = parts[:4]
+        z_shift = float(parts[4]) if len(parts) == 5 else 0.0
+        ds = StereoListDataset(
+            dataset=dataset, list_file=list_file, root=root,
+            crop_size=(args.crop_height, args.crop_width), training=False,
+        )
+        sweeps.append((name, ds, z_shift))
+
+    @jax.jit
+    def fwd(params, batch_stats, left, right):
+        return model.apply({"params": params, "batch_stats": batch_stats}, left, right)
+
+    def run(state):
+        out = []
+        for name, ds, z_shift in sweeps:
+            frames = []
+            for i in range(len(ds)):
+                stack = ds.load_stack(i)
+                disp = run_frame(
+                    lambda l, r: fwd(state.params, state.batch_stats, l, r),
+                    stack, args.crop_height, args.crop_width,
+                )
+                disp = disp + z_shift
+                target = stack[6]
+                th, tw = disp.shape
+                oh = (target.shape[0] - th) // 2 if target.shape[0] > th else 0
+                ow = (target.shape[1] - tw) // 2 if target.shape[1] > tw else 0
+                frames.append(
+                    frame_metrics(disp, target[oh : oh + th, ow : ow + tw], args.maxdisp, ())
+                )
+            avg = {k: float(np.mean([f[k] for f in frames])) for k in ("epe", "err3")}
+            print(f"===> val_other {name}: epe={avg['epe']:.4f} err3={avg['err3']:.4f}", flush=True)
+            out.append((name, avg))
+        return out
+
+    return run
 
 
 def main(argv=None) -> int:
@@ -130,21 +198,26 @@ def main(argv=None) -> int:
 
     early = EarlyStopping(args.patience, args.es_delta, args.ckpt_period, save_fn=save)
 
+    val_other = make_val_other(args, model)
+
     step = 0
     with jax.sharding.set_mesh(mesh):
         for epoch in range(args.epochs):
-            for batch in train_loader(epoch):
+            for epoch_step, batch in enumerate(train_loader(epoch)):
                 state, metrics = train_step(state, batch)
                 step += 1
                 if step % 10 == 1:
                     log.log(step, epoch=epoch, **{k: float(v) for k, v in metrics.items()})
-                if args.max_steps_per_epoch and step % max(args.max_steps_per_epoch, 1) == 0:
+                if args.max_steps_per_epoch and epoch_step + 1 >= args.max_steps_per_epoch:
                     break
             # validation
             vals = []
             for batch in val_loader(0):
                 _, m = eval_step(state, batch)
                 vals.append({k: float(v) for k, v in m.items()})
+            if val_other is not None:
+                for name, m in val_other(state):
+                    log.log(step, epoch=epoch, **{f"val_{name}_{k}": v for k, v in m.items()})
             if vals:
                 avg = {k: float(np.mean([v[k] for v in vals])) for k in vals[0]}
                 log.log(step, epoch=epoch, **{f"val_{k}": v for k, v in avg.items()})

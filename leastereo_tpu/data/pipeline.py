@@ -49,8 +49,7 @@ def batch_iterator(
     def load(i):
         return dataset.__getitem__(int(i), epoch=epoch)
 
-    with ThreadPoolExecutor(max_workers=num_workers) as pool:
-        samples = pool.map(load, order)
+    def emit(samples):
         while True:
             chunk = list(itertools.islice(samples, batch_size))
             if len(chunk) < batch_size and (drop_last or not chunk):
@@ -60,6 +59,12 @@ def batch_iterator(
                 "right": np.stack([s.right for s in chunk]),
                 "disparity": np.stack([s.disparity for s in chunk]),
             }
+
+    if num_workers <= 0:  # synchronous (debug / --workers 0)
+        yield from emit(map(load, order))
+        return
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        yield from emit(pool.map(load, order))
 
 
 def prefetch_to_device(it: Iterable[dict], sharding=None, depth: int = 2) -> Iterator[dict]:

@@ -20,6 +20,8 @@ __all__ = [
     "tagil_sample_valid",
     "clean_new_tagil",
     "convert_whu",
+    "convert_new_tagil",
+    "harvest_midd_eval_logs",
     "aggregate_metrics",
 ]
 
@@ -94,6 +96,75 @@ def convert_whu(in_dir: str, out_dir: str) -> int:
         )
         count += 1
     return count
+
+
+NEW_TAGIL_REQUIRED = frozenset(
+    {
+        "img_L.tif",
+        "img_R.tif",
+        "disp_L_lidar.tif",
+        "disp_R_lidar.tif",
+        "disp_L_lidar0.tif",
+        "disp_R_lidar0.tif",
+    }
+)
+
+
+def convert_new_tagil(in_dir: str, out_dir: str) -> int:
+    """Flatten raw ``<area>/<tile>/epi/`` subtrees into per-sample dirs
+    ``<area>_<tile>/`` containing the 6 required files; incomplete samples are
+    skipped (reference dataloaders/new_tagil_convert.py)."""
+    os.makedirs(out_dir, exist_ok=True)
+    count = 0
+    for d in sorted(os.scandir(in_dir), key=lambda e: e.name):
+        if not d.is_dir():
+            continue
+        for sd in sorted(os.scandir(d.path), key=lambda e: e.name):
+            if not sd.is_dir():
+                continue
+            epi = os.path.join(sd.path, "epi")
+            if not os.path.isdir(epi):
+                continue
+            if not NEW_TAGIL_REQUIRED.issubset(os.listdir(epi)):
+                continue
+            sample_dir = os.path.join(out_dir, f"{d.name}_{sd.name}")
+            os.makedirs(sample_dir, exist_ok=True)
+            for fn in sorted(NEW_TAGIL_REQUIRED):
+                shutil.copy(os.path.join(epi, fn), sample_dir)
+            count += 1
+    return count
+
+
+_MIDD_EVAL_HEADER = "vis% d_err% o_err% t_err% mean_err"
+
+
+def harvest_midd_eval_logs(
+    in_dir: str, out_file: str = "metrics.txt", log_name: str = "60_midd_eval.log"
+) -> dict[str, tuple[float, ...]]:
+    """Harvest per-sample ``midd_eval`` log metrics from a raw
+    ``<area>/<tile>/`` tree into one summary file and return
+    ``{sample: (d_err, o_err, t_err, mean_err)}``
+    (reference utils/new_tagil_valids.py)."""
+    results: dict[str, tuple[float, ...]] = {}
+    with open(out_file, "w") as out:
+        for d in sorted(os.scandir(in_dir), key=lambda e: e.name):
+            if not d.is_dir():
+                continue
+            for sd in sorted(os.scandir(d.path), key=lambda e: e.name):
+                if not sd.is_dir():
+                    continue
+                log_path = os.path.join(sd.path, log_name)
+                if not os.path.exists(log_path):
+                    continue
+                with open(log_path) as f:
+                    lines = f.readlines()
+                if len(lines) < 3 or not lines[1].startswith(_MIDD_EVAL_HEADER):
+                    continue
+                vals = tuple(map(float, lines[2].split()))
+                name = f"{d.name}_{sd.name}"
+                results[name] = vals[1:5]
+                out.write(f"{name} {vals[1]} {vals[2]} {vals[3]} {vals[4]}\n")
+    return results
 
 
 def aggregate_metrics(eval_dir: str) -> dict:

@@ -5,7 +5,7 @@ from .losses import (
     validity_mask,
 )
 from .metrics import bad_pixel_frac, epe, three_px_error
-from .step import TrainState, make_eval_step, make_optimizer, make_train_step, multistep_lr
+from .step import TrainState, make_eval_step, make_lr_schedule, make_optimizer, make_train_step, multistep_lr
 
 __all__ = [
     "edge_aware_smoothness_loss",
@@ -17,6 +17,7 @@ __all__ = [
     "three_px_error",
     "TrainState",
     "make_eval_step",
+    "make_lr_schedule",
     "make_optimizer",
     "make_train_step",
     "multistep_lr",

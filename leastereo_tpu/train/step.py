@@ -52,6 +52,60 @@ def multistep_lr(base_lr: float, milestones: tuple[int, ...], gamma: float) -> o
     )
 
 
+def make_lr_schedule(
+    mode: str,
+    base_lr: float,
+    num_epochs: int,
+    steps_per_epoch: int,
+    *,
+    milestones: tuple[int, ...] = (),
+    gamma: float = 0.5,
+    lr_step: int = 0,
+    warmup_epochs: int = 0,
+    min_lr: float | None = None,
+) -> optax.Schedule:
+    """Per-iteration LR schedule, parity with reference ``utils/lr_scheduler.py:14-75``.
+
+    Modes (T = global step, N = num_epochs * steps_per_epoch):
+
+    * ``cos``       — ``0.5 * lr * (1 + cos(pi * T / N))``
+    * ``poly``      — ``lr * (1 - T/N)^0.9``
+    * ``step``      — ``lr * 0.1^(epoch // lr_step)``
+    * ``multistep`` — torch MultiStepLR (reference train.py:80), epoch milestones
+
+    Matching the reference's operation order exactly: the ``min_lr`` floor is
+    applied BEFORE the linear warmup ramp (``lr * T / warmup_iters`` for
+    ``T < warmup_epochs * steps_per_epoch``), so warmup scales the floored lr.
+    """
+    n = max(num_epochs * steps_per_epoch, 1)
+    warmup_iters = warmup_epochs * steps_per_epoch
+    if mode == "step" and not lr_step:
+        raise ValueError("mode 'step' requires lr_step > 0")
+    if mode == "multistep":
+        inner = multistep_lr(base_lr, tuple(m * steps_per_epoch for m in milestones), gamma)
+
+    def schedule(t):
+        t = jnp.asarray(t, jnp.float32)
+        if mode == "cos":
+            lr = 0.5 * base_lr * (1.0 + jnp.cos(jnp.pi * t / n))
+        elif mode == "poly":
+            lr = base_lr * jnp.maximum(1.0 - t / n, 0.0) ** 0.9
+        elif mode == "step":
+            epoch = jnp.floor(t / max(steps_per_epoch, 1))
+            lr = base_lr * 0.1 ** jnp.floor(epoch / lr_step)
+        elif mode == "multistep":
+            lr = inner(t)
+        else:
+            raise ValueError(f"unknown lr scheduler {mode!r}")
+        if min_lr is not None:
+            lr = jnp.maximum(lr, min_lr)
+        if warmup_iters > 0:
+            lr = jnp.where(t < warmup_iters, lr * t / warmup_iters, lr)
+        return lr
+
+    return schedule
+
+
 def make_optimizer(
     solver: str = "adam",
     lr: float | optax.Schedule = 1e-3,

@@ -1,4 +1,11 @@
-"""Per-component timing of the flagship forward on the current backend."""
+"""Per-component device-time profile of the flagship forward.
+
+Host-side timing through a remote-device tunnel is unreliable (per-dispatch
+RPC overhead >> device time for sub-10ms programs), so each component is
+timed as N chained iterations inside ONE jitted fori_loop — the loop carry
+feeds back into the input so XLA cannot CSE the iterations — and we report
+(t(N2) - t(N1)) / (N2 - N1), which cancels dispatch + fetch overhead exactly.
+"""
 
 import pathlib
 import sys
@@ -22,6 +29,7 @@ from leastereo_tpu.ops.cost_volume import build_cost_volume
 from leastereo_tpu.ops.softargmin import soft_argmin, soft_argmin_fast
 
 H, W, MAXDISP = 384, 1248, 192
+N1, N2 = 4, 12
 cfg = LEAStereoConfig(maxdisp=MAXDISP, compute_dtype="bfloat16")
 dtype = cfg.dtype
 
@@ -29,64 +37,71 @@ rng = np.random.RandomState(0)
 left = jnp.asarray(rng.randn(1, H, W, 3), dtype)
 right = jnp.asarray(rng.randn(1, H, W, 3), dtype)
 
+
+def device_time(fn, *args, n1=N1, n2=N2):
+    """Seconds per iteration of ``fn(*args)`` on-device.
+
+    fn's first arg gets a carry-dependent perturbation each iteration so the
+    loop body cannot be hoisted/CSE'd; remaining args are closed over.
+    """
+
+    def looped(n):
+        @jax.jit
+        def run(x0, rest):
+            def body(_, carry):
+                a, x = carry
+                out = fn(x + a * jnp.asarray(1e-30, x.dtype), *rest)
+                leaf = jax.tree.leaves(out)[0]
+                return leaf.ravel()[0].astype(x.dtype), x
+
+            a, _ = jax.lax.fori_loop(0, n, body, (jnp.asarray(0, x0.dtype), x0))
+            return a
+
+        run(args[0], args[1:]).block_until_ready()  # compile
+        t0 = time.perf_counter()
+        np.asarray(run(args[0], args[1:]))
+        return time.perf_counter() - t0
+
+    t1 = looped(n1)
+    t2 = looped(n2)
+    return (t2 - t1) / (n2 - n1)
+
+
 fea = FeatureNet(genotype=BEST_SCENEFLOW["feature"], filter_multiplier=8,
                  block_multiplier=4, steps=3, dtype=dtype)
 fvars = jax.jit(fea.init)(jax.random.PRNGKey(0), left)
-fea_fn = jax.jit(lambda v, x: fea.apply(v, x))
-
-f_left = fea_fn(fvars, left)
-f_left.block_until_ready()
-print("feature out:", f_left.shape, f_left.dtype)
-f_right = fea_fn(fvars, right)
-
-cv_fn = jax.jit(lambda a, b: build_cost_volume(a, b, MAXDISP // 3))
-cost = cv_fn(f_left, f_right)
-cost.block_until_ready()
-print("cost volume:", cost.shape, cost.dtype)
+f_left = jax.jit(lambda x: fea.apply(fvars, x))(left)
+f_right = jax.jit(lambda x: fea.apply(fvars, x))(right)
 
 mat = MatchingNet(genotype=BEST_SCENEFLOW["matching"], filter_multiplier=8,
                   block_multiplier=4, steps=3, dtype=dtype)
-mvars = jax.jit(mat.init)(jax.random.PRNGKey(0), cost)
-mat_fn = jax.jit(lambda v, x: mat.apply(v, x))
-mcost = mat_fn(mvars, cost)
-mcost.block_until_ready()
-print("matching out:", mcost.shape, mcost.dtype)
+mvars = jax.jit(lambda k, l, r: mat.init(k, (l, r, MAXDISP // 3)))(
+    jax.random.PRNGKey(0), f_left, f_right)
+cost = jax.jit(lambda a, b: build_cost_volume(a, b, MAXDISP // 3))(f_left, f_right)
+mvars_u = jax.jit(mat.init)(jax.random.PRNGKey(0), cost)
+mcost = jax.jit(lambda l, r: mat.apply(mvars, (l, r, MAXDISP // 3)))(f_left, f_right)
 
-sa_fn = jax.jit(lambda x: soft_argmin(x, MAXDISP))
-saf_fn = jax.jit(lambda x: soft_argmin_fast(x, MAXDISP))
-sa_fn(mcost).block_until_ready()
-saf_fn(mcost).block_until_ready()
-
-
-def bench(fn, *args, iters=10):
-    fn(*args)  # warm
-    jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
-
-
-t_fea = bench(fea_fn, fvars, left)
-t_cv = bench(cv_fn, f_left, f_right)
-t_mat = bench(mat_fn, mvars, cost)
-t_sa = bench(sa_fn, mcost)
-t_saf = bench(saf_fn, mcost)
-
-print(f"feature net (x1):   {t_fea*1e3:8.2f} ms  (x2 views = {2*t_fea*1e3:.2f})")
-print(f"cost volume:        {t_cv*1e3:8.2f} ms")
-print(f"matching net:       {t_mat*1e3:8.2f} ms")
-print(f"soft-argmin parity: {t_sa*1e3:8.2f} ms")
-print(f"soft-argmin fast:   {t_saf*1e3:8.2f} ms")
-total = 2 * t_fea + t_cv + t_mat + t_sa
-print(f"sum (parity head):  {total*1e3:8.2f} ms -> {1/total:.2f} fps")
-
-# Full fused model, same as bench.py.
 model = best_sceneflow_model(cfg)
 left32 = left.astype(jnp.float32)
 right32 = right.astype(jnp.float32)
 variables = jax.jit(model.init)(jax.random.PRNGKey(0), left32, right32)
-full_fn = jax.jit(lambda l, r: model.apply(variables, l, r))
-t_full = bench(full_fn, left32, right32)
-print(f"full fused model:   {t_full*1e3:8.2f} ms -> {1/t_full:.2f} fps")
+
+components = [
+    ("feature net (x1)", lambda x: fea.apply(fvars, x), left),
+    ("cost volume build", lambda a, b: build_cost_volume(a, b, MAXDISP // 3), f_left, f_right),
+    ("matching net (fused stem)", lambda l, r: mat.apply(mvars, (l, r, MAXDISP // 3)), f_left, f_right),
+    ("matching net (unfused)", lambda c: mat.apply(mvars_u, c), cost),
+    ("soft-argmin parity", lambda x: soft_argmin(x, MAXDISP), mcost),
+    ("soft-argmin fast", lambda x: soft_argmin_fast(x, MAXDISP), mcost),
+    ("FULL model", lambda l, r: model.apply(variables, l, r), left32, right32),
+]
+
+times = {}
+for name, fn, *args in components:
+    t = device_time(fn, *args)
+    times[name] = t
+    print(f"{name:28s} {t * 1e3:9.3f} ms", flush=True)
+
+s = 2 * times["feature net (x1)"] + times["matching net (fused stem)"] + times["soft-argmin parity"]
+print(f"{'sum 2*fea + mat + softargmin':28s} {s * 1e3:9.3f} ms")
+print(f"{'FULL -> fps':28s} {1.0 / times['FULL model']:9.2f}")

@@ -125,3 +125,45 @@ def test_aggregate_metrics(tmp_path):
     avg = aggregate_metrics(str(tmp_path))
     assert avg["epe"] == 2.0
     assert abs(avg["bad3"] - 0.15) < 1e-9
+
+
+def test_convert_new_tagil(tmp_path):
+    """Flatten <area>/<tile>/epi trees; incomplete samples skipped
+    (reference dataloaders/new_tagil_convert.py)."""
+    import os
+
+    from leastereo_tpu.data.tools import NEW_TAGIL_REQUIRED, convert_new_tagil
+
+    src = tmp_path / "raw"
+    for area, tile, complete in (("a1", "t1", True), ("a1", "t2", False), ("a2", "t9", True)):
+        epi = src / area / tile / "epi"
+        epi.mkdir(parents=True)
+        files = sorted(NEW_TAGIL_REQUIRED) if complete else ["img_L.tif"]
+        for fn in files:
+            (epi / fn).write_bytes(b"x")
+    out = tmp_path / "flat"
+    assert convert_new_tagil(str(src), str(out)) == 2
+    assert sorted(os.listdir(out)) == ["a1_t1", "a2_t9"]
+    assert set(os.listdir(out / "a1_t1")) == set(NEW_TAGIL_REQUIRED)
+
+
+def test_harvest_midd_eval_logs(tmp_path):
+    """Harvest midd_eval logs into a summary file
+    (reference utils/new_tagil_valids.py)."""
+    from leastereo_tpu.data.tools import harvest_midd_eval_logs
+
+    src = tmp_path / "raw"
+    good = src / "a1" / "t1"
+    good.mkdir(parents=True)
+    (good / "60_midd_eval.log").write_text(
+        "run\nvis% d_err% o_err% t_err% mean_err\n93.0 1.1 2.2 3.3 4.4\n"
+    )
+    bad = src / "a1" / "t2"
+    bad.mkdir(parents=True)
+    (bad / "60_midd_eval.log").write_text("run\nunexpected header\n1 2 3 4 5\n")
+    (src / "a2" / "t3").mkdir(parents=True)  # no log at all
+
+    out_file = tmp_path / "metrics.txt"
+    res = harvest_midd_eval_logs(str(src), str(out_file))
+    assert res == {"a1_t1": (1.1, 2.2, 3.3, 4.4)}
+    assert out_file.read_text() == "a1_t1 1.1 2.2 3.3 4.4\n"

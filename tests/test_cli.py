@@ -118,9 +118,20 @@ def test_train_driver_freeze_and_resume(workspace, trained_run):
             "--resume", str(prev),
             "--freeze_feature", "1",
             "--freeze_matching", "2",
+            "--lr_scheduler", "poly",
+            "--warmup_epochs", "1",
+            "--val_other",
+            f"tagil_like:sceneflow:{root / 'lists' / 'demo' / 'val.list'}:{root / 'data'}:1.5",
         ]
     )
     assert rc == 0
+    lines = [
+        json.loads(l)
+        for l in (run_root / "sceneflow-train" / "resume_smoke" / "logs" / "metrics.jsonl")
+        .read_text()
+        .splitlines()
+    ]
+    assert any("val_tagil_like_epe" in l for l in lines)
 
     # label partition sanity
     params = {
@@ -161,6 +172,33 @@ def test_predict_and_evaluate_drivers(workspace):
     mfile = next(f for f in files if f.endswith("_metrics.txt"))
     text = (out2 / mfile).read_text()
     assert "epe:" in text and "bad3:" in text
+
+
+def test_evaluate_full_frame(workspace):
+    """--full_frame evaluates frames LARGER than the crop whole: the
+    prediction covers every pixel instead of the reference's center crop
+    (evaluation.py:288), and run_frame pads up to the next model-valid shape."""
+    from leastereo_tpu.cli.evaluate import main as eval_main
+    from leastereo_tpu.cli.predict import pad_to_valid
+
+    assert pad_to_valid(25, 49) == (36, 60)
+    assert pad_to_valid(24, 48) == (24, 48)
+
+    root, _, rels = workspace
+    out = root / "eval_full"
+    # Fixture frames are 24x36; with crop 12x24 they exceed the crop in both
+    # dims. Full-frame metrics must cover the whole 24x36 frame (pad_to_valid
+    # keeps it at 24x36, already model-valid).
+    rc = eval_main(
+        _model_args(root) + _data_args(root) + [
+            "--crop_height", "12", "--crop_width", "24",
+            "--output_dir", str(out), "--split", "test", "--full_frame",
+        ]
+    )
+    assert rc == 0
+    npys = [f for f in os.listdir(out) if f.endswith("_pred.npy")]
+    pred = np.load(out / npys[0])
+    assert pred.shape == (24, 36)
 
 
 def test_search_and_decode_drivers(workspace):

@@ -101,3 +101,35 @@ def test_param_and_flops_accounting():
 
     analysis = cost_analysis(f, jnp.zeros((8, 64), jnp.float32))
     assert analysis.get("flops", 0) >= 2 * 8 * 64 * 32 * 0.9
+
+
+def test_lr_schedules_reference_parity():
+    """make_lr_schedule matches reference utils/lr_scheduler.py:14-75 formulas
+    (cos/poly/step incl. the min_lr-before-warmup operation order)."""
+    import math
+
+    from leastereo_tpu.train import make_lr_schedule
+
+    base, epochs, spe = 0.1, 10, 7
+    n = epochs * spe
+
+    cos = make_lr_schedule("cos", base, epochs, spe)
+    poly = make_lr_schedule("poly", base, epochs, spe)
+    step = make_lr_schedule("step", base, epochs, spe, lr_step=3)
+    multi = make_lr_schedule("multistep", base, epochs, spe, milestones=(2, 5), gamma=0.5)
+    warm = make_lr_schedule("cos", base, epochs, spe, warmup_epochs=2, min_lr=0.04)
+
+    for t in (0, 1, 7, 13, 35, 69):
+        epoch = t // spe
+        assert np.isclose(float(cos(t)), 0.5 * base * (1 + math.cos(math.pi * t / n)), atol=1e-7)
+        assert np.isclose(float(poly(t)), base * (1 - t / n) ** 0.9, atol=1e-7)
+        assert np.isclose(float(step(t)), base * 0.1 ** (epoch // 3), atol=1e-7)
+        assert np.isclose(float(multi(t)), base * 0.5 ** sum(1 for m in (2, 5) if t >= m * spe), atol=1e-7)
+        # reference order: floor first, then linear warmup ramp scales it
+        lr = max(0.5 * base * (1 + math.cos(math.pi * t / n)), 0.04)
+        if t < 2 * spe:
+            lr = lr * t / (2 * spe)
+        assert np.isclose(float(warm(t)), lr, atol=1e-7)
+
+    with pytest.raises(ValueError):
+        make_lr_schedule("step", base, epochs, spe)  # lr_step required
