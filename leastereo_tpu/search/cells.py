@@ -71,8 +71,7 @@ class SearchCell(nn.Module):
         s1_same,
         s1_up,
         alphas: jnp.ndarray,  # (num_edges, num_ops), already softmaxed
-        *,
-        train: bool = False,
+        train: bool = False,  # positional so nn.remat can mark it static
     ) -> list[jnp.ndarray]:
         one = (1,) * self.ndim
         k3 = (3,) * self.ndim

@@ -76,6 +76,10 @@ class SupernetConfig:
     filter_multiplier: int
     block_multiplier: int
     steps: int = 3
+    # Rematerialize each search cell in the backward pass (jax.checkpoint).
+    # Required to fit the reference-scale 192x384 filter-4/block-3 bilevel
+    # search on one chip (SURVEY.md §7 hard-part 3); costs ~1 extra forward.
+    remat: bool = True
 
 
 class _Trellis(nn.Module):
@@ -115,7 +119,9 @@ class _Trellis(nn.Module):
                 s1_up = prev.get(v + 1)
                 if s1_down is None and s1_same is None and s1_up is None:
                     continue
-                cell = SearchCell(
+                # static_argnums counts self at 0; 6 = the train flag.
+                cell_cls = nn.remat(SearchCell, static_argnums=(6,)) if cfg.remat else SearchCell
+                cell = cell_cls(
                     steps=cfg.steps,
                     block_multiplier=cfg.block_multiplier,
                     c_out=fm * FILTER_SCALE[v],
@@ -130,7 +136,7 @@ class _Trellis(nn.Module):
                     s1_same,
                     s1_up,
                     a,
-                    train=train,
+                    train,
                 )
                 # Branch order mirrors availability order (down, same, up);
                 # weight each with the beta of its transition.
