@@ -21,6 +21,7 @@ from ..ops.softargmin import soft_argmin, soft_argmin_fast
 from .feature_net import FeatureNet
 from .genotypes import BEST_SCENEFLOW, Architecture
 from .matching_net import MatchingNet
+from .matching_packed import PackedMatchingNet
 
 
 @dataclasses.dataclass(frozen=True)
@@ -40,6 +41,11 @@ class LEAStereoConfig:
     # the 5-D volume never materialises — see ops/fused_stem.py). Disable to
     # force the reference-shaped explicit volume path.
     fused_stem: bool = True
+    # Run the matching net in the depth-packed layout (ops/packed3d.py):
+    # identical math and parameter tree, but activations stored as
+    # (B, D/G, H, W, G*C) so narrow channels fill the TPU's 128 lanes instead
+    # of being padded 4-16x. Disable to force the plain NDHWC execution.
+    packed_matching: bool = True
     # Optional PartitionSpec (as a tuple of axis names / None) constraining the
     # (B, D, H, W, 2C) cost volume, e.g. ("data", "disp") shards the disparity
     # axis across the mesh — the CP-analog for maxdisp-408 Middlebury frames
@@ -84,7 +90,8 @@ class LEAStereo(nn.Module):
                     cost, jax.sharding.PartitionSpec(*cfg.cost_volume_pspec)
                 )
 
-        mat = MatchingNet(
+        matching_cls = PackedMatchingNet if cfg.packed_matching else MatchingNet
+        mat = matching_cls(
             genotype=self.matching_arch,
             filter_multiplier=cfg.mat_filter_multiplier,
             block_multiplier=cfg.mat_block_multiplier,

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["fused_cost_volume_stem"]
 
@@ -56,6 +57,7 @@ def fused_cost_volume_stem(
     right: jnp.ndarray,
     kernel: jnp.ndarray,
     num_disp: int,
+    pack_g: int | None = None,
 ) -> jnp.ndarray:
     """``conv3d_same(build_cost_volume(left, right, num_disp), kernel)``
     without materialising the volume.
@@ -64,9 +66,13 @@ def fused_cost_volume_stem(
       left, right: ``(B, H, W, C)`` feature maps.
       kernel: ``(3, 3, 3, 2C, F)`` DHWIO stem kernel.
       num_disp: number of candidate disparities (volume depth D).
+      pack_g: if set, emit the depth-packed layout ``(B, D/g, H, W, g*F)``
+        (``ops/packed3d.py``) directly — the assembly writes each lane group
+        in place, so the unpacked tensor never exists either.
 
     Returns:
-      ``(B, num_disp, H, W, F)`` stem convolution output (pre-BN/ReLU).
+      ``(B, num_disp, H, W, F)`` stem convolution output (pre-BN/ReLU), or
+      its packed form when ``pack_g`` is given.
     """
     b, h, w, c = left.shape
     f = kernel.shape[-1]
@@ -93,14 +99,25 @@ def fused_cost_volume_stem(
 
     # ---- assembly ---------------------------------------------------------
     # Left half, vectorised over d via t-masks (fused selects, no gathers).
-    d_idx = jnp.arange(num_disp).reshape(1, num_disp, 1, 1, 1)
+    # In packed mode the disparity index is per lane group: d = tile*g + l//f.
+    if pack_g is None:
+        d_idx = jnp.arange(num_disp).reshape(1, num_disp, 1, 1, 1)
+        out = jnp.zeros((b, num_disp, h, w, f), dtype=left.dtype)
+        tile_p = lambda x: x[:, None]  # (b, 1, h, w, f)
+    else:
+        g = pack_g
+        assert num_disp % g == 0, (num_disp, g)
+        lane_d = np.repeat(np.arange(g), f)  # (g*f,)
+        tiles = jnp.arange(num_disp // g).reshape(1, -1, 1, 1, 1)
+        d_idx = tiles * g + jnp.asarray(lane_d).reshape(1, 1, 1, 1, g * f)
+        out = jnp.zeros((b, num_disp // g, h, w, g * f), dtype=left.dtype)
+        tile_p = lambda x: jnp.tile(x, (1, 1, 1, g))[:, None]  # (b, 1, h, w, g*f)
     w_idx = jnp.arange(w).reshape(1, 1, 1, w, 1)
-    out = jnp.zeros((b, num_disp, h, w, f), dtype=left.dtype)
     for kd in range(3):
         # valid kd: 0 <= d+kd-1 < num_disp
         valid = (d_idx + kd - 1 >= 0) & (d_idx + kd - 1 < num_disp)
         t = d_idx + kd - w_idx  # clamp(t,0,3): taps suppressed at this column
-        p0, p1, p2 = (x[:, None] for x in p[kd])
+        p0, p1, p2 = (tile_p(x) for x in p[kd])
         zero = jnp.zeros((), dtype=left.dtype)
         contrib = jnp.where(t <= 0, p0, jnp.where(t == 1, p1, jnp.where(t == 2, p2, zero)))
         out = out + jnp.where(valid, contrib, zero)
@@ -136,5 +153,10 @@ def fused_cost_volume_stem(
         if acc is None:
             acc = jnp.zeros((b, h, w, f), dtype=left.dtype)
         r_slices.append(acc)
-    out = out + jnp.stack(r_slices, axis=1)
-    return out
+    if pack_g is None:
+        return out + jnp.stack(r_slices, axis=1)
+    grouped = [
+        jnp.concatenate(r_slices[t * pack_g : (t + 1) * pack_g], axis=-1)
+        for t in range(num_disp // pack_g)
+    ]
+    return out + jnp.stack(grouped, axis=1)

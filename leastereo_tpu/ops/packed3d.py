@@ -1,0 +1,346 @@
+"""Depth-packed NDHWC layout: the TPU-native representation of 5-D volumes.
+
+The matching net's tensors are narrow — 8/16/32 channels (reference
+``retrain/skip_model_3d.py:78-174`` with filter_multiplier 8). TPU HBM tiling
+pads the minormost (lane) dimension to 128, so an NDHWC tensor with C=16
+physically occupies 8x its logical bytes and every elementwise/BN/conv pass
+pays that multiple in bandwidth (measured: level-1 matching cells cost
+3.6-10 ms each against ~0.15 ms of useful FLOPs).
+
+The fix: fold ``G`` consecutive depth planes into the channel dimension so
+tensors are stored as ``(B, D/G, H, W, G*C)`` with ``G*C`` a multiple of (or
+close to) 128 lanes. All ops then run at full lane utilisation:
+
+* elementwise / BN: lane-tiled scale/bias, zero layout overhead;
+* 1x1x1 convs: block-diagonal lane matmul (same math, dense MXU GEMM);
+* 3x3x3 convs: a *block-banded* 2-D convolution — output plane ``g`` reads
+  input planes ``g-1..g+1``, so a ``(3,3,(G+2)C, GC)`` kernel whose band
+  blocks are the canonical ``(3,3,3,C,C')`` kernel reproduces the 3-D conv
+  exactly (one zero-padded halo plane from each neighbouring tile). The
+  zero blocks waste ``(G+2)/3`` FLOPs but raise the GEMM contraction to
+  ``>=128`` lanes, which on TPU is a large net win (measured 3.4x on the
+  stem-shaped conv, 64 -> 219 useful TFLOP/s);
+* trilinear resize: H/W stay ordinary interpolation matmuls; the depth axis
+  becomes a joint (tile, lane) -> (tile', lane') contraction with a static
+  operator built from the interpolation matrix.
+
+Lane bookkeeping: concatenating two packed tensors along lanes produces a
+valid but *non-canonical* layout (source-major instead of plane-major). A
+``lane_map`` records which (plane g, channel c) each lane holds; every
+consumer builds its kernel/operator through the map, so concats are free.
+Ops always *emit* canonical (g-major) layout.
+
+This module is pure-function; the Flax modules live in
+``models/matching_packed.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .resize import interp_matrix
+
+__all__ = [
+    "Packed",
+    "pack",
+    "unpack",
+    "choose_pack",
+    "conv3x3_packed",
+    "conv1x1_packed",
+    "resize_packed",
+]
+
+
+def canonical_lane_map(g: int, c: int) -> tuple[tuple[int, int], ...]:
+    """Plane-major layout: lane ``i*c + j`` holds (plane i, channel j)."""
+    return tuple((i, j) for i in range(g) for j in range(c))
+
+
+@dataclasses.dataclass
+class Packed:
+    """A ``(B, D/G, H, W, L)`` depth-packed volume.
+
+    ``lane_map[l] = (g, c)``: lane ``l`` holds channel ``c`` of depth plane
+    ``tile*G + g``. ``channels`` is the logical channel count C (lanes = G*C).
+    """
+
+    data: jnp.ndarray
+    g: int
+    channels: int
+    lane_map: tuple[tuple[int, int], ...] | None = None  # None = canonical
+
+    def __post_init__(self):
+        assert self.data.ndim == 5, self.data.shape
+        assert self.data.shape[-1] == self.g * self.channels, (
+            self.data.shape,
+            self.g,
+            self.channels,
+        )
+
+    @property
+    def lanes(self) -> int:
+        return self.g * self.channels
+
+    @property
+    def depth(self) -> int:
+        return self.data.shape[1] * self.g
+
+    @property
+    def size(self) -> tuple[int, int, int]:
+        """Logical (D, H, W)."""
+        return (self.depth, self.data.shape[2], self.data.shape[3])
+
+    def map(self) -> tuple[tuple[int, int], ...]:
+        return self.lane_map or canonical_lane_map(self.g, self.channels)
+
+    def is_canonical(self) -> bool:
+        return self.lane_map is None or self.lane_map == canonical_lane_map(
+            self.g, self.channels
+        )
+
+
+def concat_lanes(parts: list[Packed]) -> Packed:
+    """Channel-concat of same-(size, g) packed tensors: a free lane concat.
+
+    The result's logical channels are ``sum(p.channels)`` with part ``k``'s
+    channels offset by the cumulative channel count (matching
+    ``jnp.concatenate`` on the unpacked C axis)."""
+    g = parts[0].g
+    assert all(p.g == g and p.data.shape[:4] == parts[0].data.shape[:4] for p in parts)
+    lane_map = []
+    off = 0
+    for p in parts:
+        lane_map.extend((pg, off + pc) for pg, pc in p.map())
+        off += p.channels
+    return Packed(
+        data=jnp.concatenate([p.data for p in parts], axis=-1),
+        g=g,
+        channels=off,
+        lane_map=tuple(lane_map),
+    )
+
+
+def pack(x: jnp.ndarray, g: int) -> Packed:
+    """``(B, D, H, W, C)`` -> canonical ``(B, D/g, H, W, g*C)``."""
+    b, d, h, w, c = x.shape
+    assert d % g == 0, (d, g)
+    x = x.reshape(b, d // g, g, h, w, c)
+    x = jnp.transpose(x, (0, 1, 3, 4, 2, 5))
+    return Packed(x.reshape(b, d // g, h, w, g * c), g=g, channels=c)
+
+
+def unpack(p: Packed) -> jnp.ndarray:
+    """Inverse of :func:`pack` (handles non-canonical maps)."""
+    b, dg, h, w, _ = p.data.shape
+    x = p.data
+    if not p.is_canonical():
+        order = np.argsort([pg * p.channels + pc for pg, pc in p.map()], kind="stable")
+        x = jnp.take(x, jnp.asarray(order), axis=-1)
+    x = x.reshape(b, dg, h, w, p.g, p.channels)
+    x = jnp.transpose(x, (0, 1, 4, 2, 3, 5))
+    return x.reshape(b, dg * p.g, h, w, p.channels)
+
+
+def choose_pack(depth: int, channels: int, max_lanes: int = 512) -> int:
+    """Packing factor for a (depth, channels) volume: the smallest g dividing
+    ``depth`` with ``g*channels >= 128`` lanes (minimising the banded conv's
+    ``(g+2)/3`` FLOP factor), else the largest divisor under ``max_lanes``.
+
+    Falls back gracefully for awkward depths (e.g. Middlebury maxdisp 408 ->
+    D = 136/68/34 per level, where only g in {2, 4, 8} divide)."""
+    divisors = [g for g in (2, 4, 8, 16) if depth % g == 0 and g * channels <= max_lanes]
+    full = [g for g in divisors if g * channels >= 128]
+    if full:
+        return full[0]
+    return divisors[-1] if divisors else 1
+
+
+def _plane_runs(lane_map, g_sel: int) -> list[tuple[int, int]]:
+    """Contiguous lane runs [start, stop) whose plane index == g_sel."""
+    runs = []
+    start = None
+    for l, (pg, _) in enumerate(lane_map):
+        if pg == g_sel and start is None:
+            start = l
+        elif pg != g_sel and start is not None:
+            runs.append((start, l))
+            start = None
+    if start is not None:
+        runs.append((start, len(lane_map)))
+    return runs
+
+
+def conv3x3_packed(p: Packed, kernel: jnp.ndarray) -> Packed:
+    """3x3x3 stride-1 pad-1 conv on a packed volume via a block-banded 2-D conv.
+
+    ``kernel``: canonical DHWIO ``(3, 3, 3, Cin, Cout)``. Exact same multiply
+    set as ``conv3d`` on the unpacked volume (summation reassociated only).
+    Output is canonical ``(B, Dg, H, W, G*Cout)``.
+    """
+    kd_, kh_, kw_, cin, cout = kernel.shape
+    assert (kd_, kh_, kw_) == (3, 3, 3) and cin == p.channels, (kernel.shape, p.channels)
+    g = p.g
+    lane_map = p.map()
+    b, dg, h, w, li = p.data.shape
+
+    # Halo: previous tile's plane g-1 lanes and next tile's plane 0 lanes
+    # (zero at the depth boundary — conv depth padding).
+    halo_prev_runs = _plane_runs(lane_map, g - 1)
+    halo_next_runs = _plane_runs(lane_map, 0)
+    x = p.data
+
+    def shift_tiles(arr, delta):
+        if delta == -1:  # previous tile
+            return jnp.pad(arr[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
+        return jnp.pad(arr[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
+
+    ext_parts = [shift_tiles(x[..., a:z], -1) for a, z in halo_prev_runs]
+    ext_parts.append(x)
+    ext_parts += [shift_tiles(x[..., a:z], +1) for a, z in halo_next_runs]
+    ext = jnp.concatenate(ext_parts, axis=-1) if len(ext_parts) > 1 else ext_parts[0]
+
+    # Ext lane e -> (plane offset relative to tile, channel).
+    ext_planes, ext_chans = [], []
+    for a, z in halo_prev_runs:
+        for l in range(a, z):
+            ext_planes.append(lane_map[l][0] - g)  # = -1
+            ext_chans.append(lane_map[l][1])
+    for pg, pc in lane_map:
+        ext_planes.append(pg)
+        ext_chans.append(pc)
+    for a, z in halo_next_runs:
+        for l in range(a, z):
+            ext_planes.append(lane_map[l][0] + g)  # = g
+            ext_chans.append(lane_map[l][1])
+    ext_planes = np.asarray(ext_planes)
+    ext_chans = np.asarray(ext_chans)
+    le = len(ext_planes)
+
+    # banded[kh, kw, e, go*Cout + co] = kernel[kd, kh, kw, c(e), co]
+    # where kd = plane(e) - go + 1, zero outside [0, 3).
+    kd_idx = ext_planes[:, None] - np.arange(g)[None, :] + 1  # (Le, G)
+    valid = (kd_idx >= 0) & (kd_idx < 3)
+    kd_clip = np.clip(kd_idx, 0, 2)
+    t = kernel[:, :, :, ext_chans, :]  # (3, 3, 3, Le, Cout)
+    t = jnp.transpose(t, (3, 0, 1, 2, 4))  # (Le, kd, 3, 3, Cout)
+    banded = t[jnp.arange(le)[:, None], jnp.asarray(kd_clip)]  # (Le, G, 3, 3, Cout)
+    banded = banded * jnp.asarray(valid, banded.dtype)[:, :, None, None, None]
+    banded = jnp.transpose(banded, (2, 3, 0, 1, 4)).reshape(3, 3, le, g * cout)
+
+    y = jax.lax.conv_general_dilated(
+        ext.reshape(b * dg, h, w, le),
+        banded,
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return Packed(y.reshape(b, dg, h, w, g * cout), g=g, channels=cout)
+
+
+def conv1x1_packed(p: Packed, kernel: jnp.ndarray) -> Packed:
+    """1x1x1 conv: block-diagonal lane matmul. ``kernel``: ``(Cin, Cout)``."""
+    cin, cout = kernel.shape
+    assert cin == p.channels, (kernel.shape, p.channels)
+    g = p.g
+    lane_map = p.map()
+    g_map = np.asarray([pg for pg, _ in lane_map])
+    c_map = np.asarray([pc for _, pc in lane_map])
+    # flat[l, go*Cout + co] = kernel[c(l), co] * (g(l) == go)
+    rows = kernel[c_map, :]  # (Li, Cout)
+    onehot = jnp.asarray(g_map[:, None] == np.arange(g)[None, :], kernel.dtype)
+    flat = (rows[:, None, :] * onehot[:, :, None]).reshape(len(lane_map), g * cout)
+    y = jax.lax.dot_general(
+        p.data, flat, dimension_numbers=(((4,), (0,)), ((), ()))
+    )
+    return Packed(y, g=g, channels=cout)
+
+
+@functools.lru_cache(maxsize=None)
+def _depth_mix_operator(
+    d_in: int,
+    g_in: int,
+    d_out: int,
+    g_out: int,
+    channels: int,
+    lane_map: tuple[tuple[int, int], ...],
+    align_corners: bool,
+) -> np.ndarray:
+    """Static ``(Dg_in, L_in, Dg_out, L_out)`` joint depth+lane interpolation
+    operator: Q[t, l, t', g'*C + c(l)] = M[t'*g_out + g', t*g_in + g(l)]."""
+    m = interp_matrix(d_in, d_out, align_corners)  # (d_out, d_in)
+    dgi, dgo = d_in // g_in, d_out // g_out
+    li = len(lane_map)
+    q = np.zeros((dgi, li, dgo, g_out * channels), np.float32)
+    out_rows = np.arange(d_out).reshape(dgo, g_out)
+    in_cols = np.arange(d_in).reshape(dgi, g_in)
+    for l, (pg, pc) in enumerate(lane_map):
+        for gp in range(g_out):
+            # (dgo, dgi) block of M for output plane-in-tile gp, input plane pg
+            q[:, l, :, gp * channels + pc] = m[out_rows[:, gp][:, None], in_cols[:, pg][None, :]].T
+    return q
+
+
+def resize_packed(
+    p: Packed,
+    out_dhw: tuple[int, int, int],
+    g_out: int,
+    align_corners: bool = True,
+) -> Packed:
+    """Trilinear resize of a packed volume to ``out_dhw`` with output packing
+    ``g_out``. Same interpolation math as ``ops.resize.resize3d`` (torch
+    align_corners semantics; fp32-accurate contractions); like
+    ``ops.resize._resize_axes``, each contraction moves its produced axis to
+    the end and ONE final transpose restores logical order. Output canonical
+    whenever the depth/lane mix runs; otherwise the lane_map is preserved.
+    """
+    d_out, h_out, w_out = out_dhw
+    assert d_out % g_out == 0, (d_out, g_out)
+    b, dg, h, w, li = p.data.shape
+    d_in = p.depth
+    x = p.data
+    mix_depth = d_in != d_out or p.g != g_out or not p.is_canonical()
+
+    # Logical axis ids at each physical position: 0=B, 1=Dg, 2=H, 3=W, 4=L.
+    order = [0, 1, 2, 3, 4]
+
+    def contract(x, logical_axis, mat):
+        pos = order.index(logical_axis)
+        y = jax.lax.dot_general(
+            x,
+            jnp.asarray(mat, x.dtype),
+            dimension_numbers=(((pos,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        order.pop(pos)
+        order.append(logical_axis)
+        return y
+
+    if h != h_out:
+        x = contract(x, 2, interp_matrix(h, h_out, align_corners))
+    if w != w_out:
+        x = contract(x, 3, interp_matrix(w, w_out, align_corners))
+
+    if mix_depth:
+        q = _depth_mix_operator(d_in, p.g, d_out, g_out, p.channels, p.map(), align_corners)
+        dg_pos, l_pos = order.index(1), order.index(4)
+        x = jax.lax.dot_general(
+            x,
+            jnp.asarray(q, x.dtype),
+            dimension_numbers=(((dg_pos, l_pos), (0, 1)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # free lhs axes in order, then (Dg_out, L_out)
+        for pos in sorted((dg_pos, l_pos), reverse=True):
+            order.pop(pos)
+        order += [1, 4]
+
+    perm = [order.index(i) for i in range(5)]
+    if perm != [0, 1, 2, 3, 4]:
+        x = jnp.transpose(x, perm)
+    if mix_depth:
+        return Packed(x, g=g_out, channels=p.channels)
+    return Packed(x, g=p.g, channels=p.channels, lane_map=p.lane_map)
