@@ -81,6 +81,14 @@ def add_data_args(p: argparse.ArgumentParser) -> None:
 def _add_mesh_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--mesh_disp", type=int, default=1, help="devices on the disparity (CP) mesh axis")
     p.add_argument("--mesh_data", type=int, default=None, help="devices on the data mesh axis (default: all remaining)")
+    p.add_argument(
+        "--multihost",
+        action="store_true",
+        help="multi-process SPMD: jax.distributed.initialize() before backend init "
+        "(auto-detects on TPU pods; elsewhere set JAX_COORDINATOR_ADDRESS/"
+        "JAX_NUM_PROCESSES/JAX_PROCESS_ID). The mesh then spans all hosts and "
+        "each host loads its slice of the global batch (parallel/multihost.py).",
+    )
 
 
 def train_parser() -> argparse.ArgumentParser:

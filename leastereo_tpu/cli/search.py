@@ -39,6 +39,11 @@ def main(argv=None) -> int:
     from .config import apply_platform
 
     apply_platform(args)
+    if args.multihost:
+        from ..parallel.multihost import initialize
+
+        initialize()
+        print(f"multihost: process {jax.process_index()}/{jax.process_count()}", flush=True)
     from .. import setup_compilation_cache
 
     setup_compilation_cache()
@@ -58,9 +63,10 @@ def main(argv=None) -> int:
     sharding = batch_sharding(mesh)
     loader_w = make_loader(weights_ds, args.batch_size, seed=args.seed, num_workers=args.workers, sharding=sharding)
     loader_a = make_loader(arch_ds, args.batch_size, seed=args.seed + 1, num_workers=args.workers, sharding=sharding)
-    val_mesh = mesh if mesh.shape["data"] == 1 else None
+    val_mesh = mesh if (mesh.shape["data"] == 1 and jax.process_count() == 1) else None
     val_loader = make_loader(val_ds, 1, shuffle=False, num_workers=args.workers,
-                             sharding=sharding if val_mesh else None, drop_last=False)
+                             sharding=sharding if val_mesh else None, drop_last=False,
+                             process_index=0, process_count=1)
 
     model = AutoStereoSupernet(
         maxdisp=args.maxdisp,

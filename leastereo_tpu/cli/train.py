@@ -140,6 +140,11 @@ def main(argv=None) -> int:
     from .config import apply_platform
 
     apply_platform(args)
+    if args.multihost:
+        from ..parallel.multihost import initialize
+
+        initialize()
+        print(f"multihost: process {jax.process_index()}/{jax.process_count()}", flush=True)
     from .. import setup_compilation_cache
 
     setup_compilation_cache()
@@ -160,10 +165,13 @@ def main(argv=None) -> int:
     mesh = make_mesh(data=args.mesh_data, disp=args.mesh_disp)
     sharding = batch_sharding(mesh)
     train_loader = make_loader(train_ds, args.batch_size, seed=args.seed, num_workers=args.workers, sharding=sharding)
-    # Eval batches may not divide the data axis; fall back to replicated eval.
-    val_mesh = mesh if args.test_batch_size % mesh.shape["data"] == 0 else None
+    # Eval batches may not divide the data axis; fall back to replicated eval
+    # (multi-host: every host evaluates the full val list locally — duplicated
+    # but simple, and val cost is negligible next to training).
+    val_mesh = mesh if (args.test_batch_size % mesh.shape["data"] == 0 and jax.process_count() == 1) else None
     val_loader = make_loader(val_ds, args.test_batch_size, shuffle=False, num_workers=args.workers,
-                             sharding=sharding if val_mesh else None, drop_last=False)
+                             sharding=sharding if val_mesh else None, drop_last=False,
+                             process_index=0, process_count=1)
 
     model = build_model(args)
     rng = jax.random.PRNGKey(args.seed)

@@ -30,11 +30,20 @@ def batch_iterator(
     seed: int = 0,
     num_workers: int = 4,
     drop_last: bool = True,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> Iterator[dict]:
     """Yield batch dicts {left, right, disparity} of stacked numpy arrays.
 
     Shuffling is a seeded permutation per (seed, epoch); sample loading fans
     out over a thread pool (PIL/numpy release the GIL for decode/copy work).
+
+    Multi-host: ``batch_size`` is the GLOBAL batch; with
+    ``process_count > 1`` each host loads and yields only its
+    ``batch_size / process_count`` contiguous rows of every global batch —
+    the rows its addressable devices hold under a batch-axis NamedSharding
+    (device order groups processes contiguously). The permutation is seeded
+    identically on every host, so global batches are consistent.
     """
     order = np.arange(len(dataset))
     if shuffle:
@@ -45,6 +54,17 @@ def batch_iterator(
         order = order[:n]
     if n == 0:
         return
+    if process_count > 1:
+        if batch_size % process_count:
+            raise ValueError(f"global batch {batch_size} not divisible by {process_count} hosts")
+        if not drop_last and n % batch_size:
+            raise ValueError("multi-host loading requires drop_last")
+        local = batch_size // process_count
+        order = (
+            order.reshape(-1, batch_size)[:, process_index * local : (process_index + 1) * local]
+            .ravel()
+        )
+        batch_size = local
 
     def load(i):
         return dataset.__getitem__(int(i), epoch=epoch)
@@ -79,6 +99,10 @@ def prefetch_to_device(it: Iterable[dict], sharding=None, depth: int = 2) -> Ite
     def put(batch):
         if sharding is None:
             return jax.device_put(batch)
+        if jax.process_count() > 1:
+            from ..parallel.multihost import make_global_batch
+
+            return make_global_batch(batch, sharding)
         return jax.device_put(batch, jax.tree.map(lambda _: sharding, batch))
 
     queue: list = []
@@ -100,10 +124,22 @@ def make_loader(
     num_workers: int = 4,
     sharding=None,
     drop_last: bool = True,
+    process_index: int | None = None,
+    process_count: int | None = None,
 ):
-    """Epoch factory: ``loader(epoch) -> iterator`` of device-resident batches."""
+    """Epoch factory: ``loader(epoch) -> iterator`` of device-resident batches.
+
+    ``batch_size`` is global; under multi-process JAX each host loads its own
+    slice (``parallel/multihost.py``). Defaults pick up ``jax.process_*``
+    lazily so single-host callers never touch the backend here."""
 
     def epoch_iter(epoch: int) -> Iterator[dict]:
+        if process_index is None or process_count is None:
+            import jax
+
+            pi, pc = jax.process_index(), jax.process_count()
+        else:
+            pi, pc = process_index, process_count
         batches = batch_iterator(
             dataset,
             batch_size,
@@ -112,6 +148,8 @@ def make_loader(
             seed=seed,
             num_workers=num_workers,
             drop_last=drop_last,
+            process_index=pi,
+            process_count=pc,
         )
         return prefetch_to_device(batches, sharding)
 

@@ -160,6 +160,28 @@ def choose_pack(depth: int, channels: int, max_lanes: int = 512) -> int:
     return divisors[-1] if divisors else 1
 
 
+def _chan_runs(chans) -> list[tuple[int, int]]:
+    """Split a channel-index sequence into maximal consecutive runs
+    [start, stop) — so a kernel row gather becomes a concat of slices
+    (TPU gathers are slow; slices are free)."""
+    runs = []
+    i = 0
+    while i < len(chans):
+        j = i + 1
+        while j < len(chans) and chans[j] == chans[j - 1] + 1:
+            j += 1
+        runs.append((chans[i], chans[j - 1] + 1))
+        i = j
+    return runs
+
+
+def _rows_for(kernel_c: jnp.ndarray, chans) -> jnp.ndarray:
+    """``kernel_c[..., chans, :]`` via static slices (no gather). ``chans``
+    indexes the second-to-last axis."""
+    parts = [kernel_c[..., a:z, :] for a, z in _chan_runs(list(chans))]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-2)
+
+
 def _plane_runs(lane_map, g_sel: int) -> list[tuple[int, int]]:
     """Contiguous lane runs [start, stop) whose plane index == g_sel."""
     runs = []
@@ -222,15 +244,17 @@ def conv3x3_packed(p: Packed, kernel: jnp.ndarray) -> Packed:
     le = len(ext_planes)
 
     # banded[kh, kw, e, go*Cout + co] = kernel[kd, kh, kw, c(e), co]
-    # where kd = plane(e) - go + 1, zero outside [0, 3).
+    # where kd = plane(e) - go + 1, zero outside [0, 3). Built gather-free:
+    # T = kernel rows re-ordered to ext lanes via static slices, then one
+    # static 0/1 selector mask per kd (TPU gathers are slow; selects fuse).
     kd_idx = ext_planes[:, None] - np.arange(g)[None, :] + 1  # (Le, G)
-    valid = (kd_idx >= 0) & (kd_idx < 3)
-    kd_clip = np.clip(kd_idx, 0, 2)
-    t = kernel[:, :, :, ext_chans, :]  # (3, 3, 3, Le, Cout)
-    t = jnp.transpose(t, (3, 0, 1, 2, 4))  # (Le, kd, 3, 3, Cout)
-    banded = t[jnp.arange(le)[:, None], jnp.asarray(kd_clip)]  # (Le, G, 3, 3, Cout)
-    banded = banded * jnp.asarray(valid, banded.dtype)[:, :, None, None, None]
-    banded = jnp.transpose(banded, (2, 3, 0, 1, 4)).reshape(3, 3, le, g * cout)
+    t = _rows_for(kernel, ext_chans)  # (3, 3, 3, Le, Cout)
+    banded = None
+    for kd in range(3):
+        mask = jnp.asarray((kd_idx == kd).astype(np.float32), kernel.dtype)  # (Le, G)
+        term = t[kd][:, :, :, None, :] * mask[None, None, :, :, None]  # (3,3,Le,G,Cout)
+        banded = term if banded is None else banded + term
+    banded = banded.reshape(3, 3, le, g * cout)
 
     y = jax.lax.conv_general_dilated(
         ext.reshape(b * dg, h, w, le),
@@ -249,10 +273,10 @@ def conv1x1_packed(p: Packed, kernel: jnp.ndarray) -> Packed:
     g = p.g
     lane_map = p.map()
     g_map = np.asarray([pg for pg, _ in lane_map])
-    c_map = np.asarray([pc for _, pc in lane_map])
-    # flat[l, go*Cout + co] = kernel[c(l), co] * (g(l) == go)
-    rows = kernel[c_map, :]  # (Li, Cout)
-    onehot = jnp.asarray(g_map[:, None] == np.arange(g)[None, :], kernel.dtype)
+    c_map = [pc for _, pc in lane_map]
+    # flat[l, go*Cout + co] = kernel[c(l), co] * (g(l) == go); gather-free.
+    rows = _rows_for(kernel, c_map)  # (Li, Cout)
+    onehot = jnp.asarray((g_map[:, None] == np.arange(g)[None, :]).astype(np.float32), kernel.dtype)
     flat = (rows[:, None, :] * onehot[:, :, None]).reshape(len(lane_map), g * cout)
     y = jax.lax.dot_general(
         p.data, flat, dimension_numbers=(((4,), (0,)), ((), ()))

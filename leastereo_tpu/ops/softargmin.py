@@ -94,16 +94,23 @@ def soft_argmin_fast(cost: jnp.ndarray, maxdisp: int) -> jnp.ndarray:
     """Fast mode: softmin at feature resolution, then upsample the disparity map.
 
     ~27x less softmax work and no (B, maxdisp, 3h, 3w) intermediate. The
-    disparity-axis upsample is folded analytically: expectation over the
-    upsampled axis equals 3x the low-res expectation plus a sub-pixel offset
-    absorbed by training; for serving we scale by ``maxdisp / D``.
+    disparity-axis upsample folds analytically: the align_corners=False 3x
+    upsample places source plane ``i`` at output ``3i + 1`` (phases 3i and
+    3i+2 are 1/3-2/3 blends of neighbours), so the full-res expectation is
+    ``3 * E_lowres + 1`` up to the softmax's response to interpolated (vs
+    exact) costs. Without the +1 the mode carries a systematic ~1.0 px bias
+    against parity mode; with it, measured |fast - parity| on trained-like
+    unimodal cost volumes is ~0.01-0.15 px (``tests/test_cost_volume.py::
+    test_soft_argmin_fast_characterization``). Use for high-throughput
+    serving; the parity head remains the reference semantics
+    (``models/build_model_2d.py:52-57``).
     """
     b, d, h, w, _ = cost.shape
     x = cost[..., 0].astype(jnp.float32)
     p = jnp.exp(-x - jnp.max(-x, axis=1, keepdims=True))
     p = p / jnp.sum(p, axis=1, keepdims=True)
     disp = jnp.arange(d, dtype=jnp.float32)[None, :, None, None]
-    low = jnp.sum(p * disp, axis=1) * (maxdisp / d)  # (B, h, w)
+    low = jnp.sum(p * disp, axis=1) * (maxdisp / d) + 1.0  # (B, h, w)
     up = resize2d(low[..., None], (3 * h, 3 * w), align_corners=False)[..., 0]
     return up
 

@@ -52,3 +52,29 @@ def test_soft_argmin_matches_torch_disp_head():
 
     got = np.asarray(soft_argmin(cost, maxdisp))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_soft_argmin_fast_characterization():
+    """Serving-mode error bound vs parity mode on trained-like cost volumes.
+
+    ``soft_argmin_fast`` reorders softmin before the 3x upsample with the
+    analytic ``3*E + 1`` disparity-axis fold (the +1 is the align_corners=
+    False phase offset; without it the mode carries a systematic ~1 px bias).
+    On sharp unimodal cost valleys — the shape a trained matching net
+    produces — the modes agree to well under half a pixel.
+    """
+    from leastereo_tpu.ops import soft_argmin_fast
+
+    rng = np.random.RandomState(0)
+    maxdisp, d, h, w = 192, 64, 40, 60
+    yy, xx = np.mgrid[0:h, 0:w]
+    mu3 = (20 + 25 * np.sin(yy / 7.0) * np.cos(xx / 9.0) + 10 * (xx / w)) / 3.0
+    dgrid = np.arange(d).reshape(d, 1, 1)
+    for sharpness, bound in ((0.5, 0.15), (1.5, 0.3), (4.0, 0.8)):
+        cost = sharpness * np.abs(dgrid - mu3[None]) + 0.05 * rng.randn(d, h, w)
+        cost = cost[None, ..., None].astype(np.float32)
+        p = np.asarray(soft_argmin(cost, maxdisp))
+        f = np.asarray(soft_argmin_fast(cost, maxdisp))
+        err = np.abs(p - f)
+        assert err.mean() < bound / 2, (sharpness, err.mean())
+        assert err.max() < bound, (sharpness, err.max())
