@@ -106,22 +106,30 @@ def main(argv=None) -> int:
 
     best = float("inf")
     step = 0
+    # The arch split is a plain cycle: pass k reshuffles with seed k, advancing
+    # one batch per weight step regardless of epoch boundaries (reference
+    # search.py alternation over the B split).
+    arch_pass = 0
+    arch_batches = None
     with jax.sharding.set_mesh(mesh):
         for epoch in range(args.epochs):
-            arch_batches = iter(loader_a(epoch)) if epoch >= args.alpha_epoch else None
-            for batch in loader_w(epoch):
+            use_arch = epoch >= args.alpha_epoch
+            for epoch_step, batch in enumerate(loader_w(epoch)):
                 state, metrics = weight_step(state, batch)
                 step += 1
-                if arch_batches is not None:
+                if use_arch:
+                    if arch_batches is None:
+                        arch_batches = iter(loader_a(arch_pass))
                     try:
                         arch_batch = next(arch_batches)
                     except StopIteration:
-                        arch_batches = iter(loader_a(epoch + 1000))
+                        arch_pass += 1
+                        arch_batches = iter(loader_a(arch_pass))
                         arch_batch = next(arch_batches)
                     state, _ = arch_step(state, arch_batch)
                 if step % 10 == 1:
                     log.log(step, epoch=epoch, **{k: float(v) for k, v in metrics.items()})
-                if args.max_steps_per_epoch and step % max(args.max_steps_per_epoch, 1) == 0:
+                if args.max_steps_per_epoch and epoch_step + 1 >= args.max_steps_per_epoch:
                     break
             vals = []
             for batch in val_loader(0):
