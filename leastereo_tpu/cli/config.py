@@ -172,6 +172,11 @@ def predict_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_dir", type=str, default="predictions")
     p.add_argument("--split", type=str, default="test", choices=["train", "val", "test"])
     p.add_argument(
+        "--save_gt",
+        action="store_true",
+        help="also render the ground-truth disparity per frame (reference predict.py:273-278)",
+    )
+    p.add_argument(
         "--full_frame",
         action="store_true",
         help="pad frames larger than the crop up to the next model-valid shape "

@@ -123,6 +123,11 @@ def main(argv=None) -> int:
             name = ds.entries[i].replace("/", "_")
             Image.fromarray(colorize_disparity(disp)).save(os.path.join(args.output_dir, f"{name}.png"))
             np.save(os.path.join(args.output_dir, f"{name}.npy"), disp)
+            if getattr(args, "save_gt", False):
+                gt = stack[6] if use_left else stack[7]
+                Image.fromarray(colorize_disparity(gt, vmin=0, vmax=args.maxdisp)).save(
+                    os.path.join(args.output_dir, f"{name}_gt.png")
+                )
             print(f"{ds.entries[i]}: {t.seconds:.3f}s  disp[{disp.min():.1f}, {disp.max():.1f}]", flush=True)
     return 0
 
