@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.cost_volume import build_cost_volume
+from ..ops.pallas_softargmin import pallas_supported, soft_argmin_fused
 from ..ops.softargmin import soft_argmin, soft_argmin_fast
 from .feature_net import FeatureNet
 from .genotypes import BEST_SCENEFLOW, Architecture
@@ -46,6 +47,11 @@ class LEAStereoConfig:
     # (B, D/G, H, W, G*C) so narrow channels fill the TPU's 128 lanes instead
     # of being padded 4-16x. Disable to force the plain NDHWC execution.
     packed_matching: bool = True
+    # Use the fused Pallas soft-argmin head (ops/pallas_softargmin.py) when
+    # running on TPU with supported shapes: identical math to the parity head
+    # (fp32 reassociation only), one VMEM-resident pass instead of several
+    # full-volume HBM round trips. Falls back to the jnp parity path off-TPU.
+    pallas_head: bool = True
     # Optional PartitionSpec (as a tuple of axis names / None) constraining the
     # (B, D, H, W, 2C) cost volume, e.g. ("data", "disp") shards the disparity
     # axis across the mesh — the CP-analog for maxdisp-408 Middlebury frames
@@ -103,6 +109,12 @@ class LEAStereo(nn.Module):
 
         if cfg.fast_head:
             return soft_argmin_fast(mat, cfg.maxdisp)
+        if (
+            cfg.pallas_head
+            and cfg.cost_volume_pspec is None  # kernel is single-device; GSPMD paths use jnp
+            and pallas_supported(mat.shape[:4])
+        ):
+            return soft_argmin_fused(mat, cfg.maxdisp)
         return soft_argmin(mat, cfg.maxdisp)
 
 
