@@ -37,6 +37,7 @@ def build_model(args) -> LEAStereo:
         mat_steps=args.mat_step,
         compute_dtype=args.dtype,
         fast_head=getattr(args, "fast_head", False),
+        return_entropy=getattr(args, "confidence", False),
         cost_volume_pspec=("data", "disp") if mesh_disp > 1 else None,
     )
     if args.net_arch_fea and args.cell_arch_fea:

@@ -127,6 +127,17 @@ def train_parser() -> argparse.ArgumentParser:
     p.add_argument("--patience", type=int, default=1500)
     p.add_argument("--es_delta", type=float, default=0.001)
     p.add_argument("--ckpt_period", type=int, default=20)
+    p.add_argument(
+        "--loop_mode", type=str, default="early_stop", choices=["early_stop", "n_epochs"],
+        help="early_stop: patience/delta loop (reference train.py:367-382, the "
+        "default entry). n_epochs: run exactly --epochs epochs, save best on "
+        "improvement plus periodic checkpoints every --ckpt_period epochs once "
+        "epoch >= --ckpt_min_epoch (reference train.py:393-429 dataset cadence; "
+        "sceneflow there saved every epoch -> use --ckpt_period 1)",
+    )
+    p.add_argument("--ckpt_min_epoch", type=int, default=0,
+                   help="first epoch eligible for periodic checkpoints in n_epochs "
+                   "mode (reference train.py:405 used 3000 for non-sceneflow)")
     p.add_argument("--max_steps_per_epoch", type=int, default=0, help="truncate epochs (smoke runs)")
     return p
 
@@ -182,6 +193,13 @@ def predict_parser() -> argparse.ArgumentParser:
         help="pad frames larger than the crop up to the next model-valid shape "
         "and predict/evaluate the whole frame (the reference center-crops both "
         "prediction and GT, evaluation.py:288)",
+    )
+    p.add_argument(
+        "--confidence",
+        action="store_true",
+        help="also emit the per-pixel disparity-entropy confidence map "
+        "(reference DispEntropy, models/build_model_2d.py:11-24 — dead code "
+        "there; saved as <frame>_conf.{png,npy})",
     )
     return p
 

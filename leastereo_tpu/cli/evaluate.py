@@ -92,6 +92,9 @@ def main(argv=None) -> int:
             fwd, stack, args.crop_height, args.crop_width, use_left,
             full_frame=args.full_frame,
         )
+        entropy = None
+        if isinstance(disp, tuple):
+            disp, entropy = disp
         if args.round_disp:
             disp = np.round(disp)  # reference evaluation.py:169
         disp = disp + args.z_shift
@@ -116,6 +119,11 @@ def main(argv=None) -> int:
             os.path.join(args.output_dir, f"{name}_err.png")
         )
         np.save(os.path.join(args.output_dir, f"{name}_pred.npy"), disp)
+        if entropy is not None:
+            Image.fromarray(
+                (np.clip(entropy / max(entropy.max(), 1e-12), 0, 1) * 255).astype(np.uint8)
+            ).save(os.path.join(args.output_dir, f"{name}_conf.png"))
+            np.save(os.path.join(args.output_dir, f"{name}_conf.npy"), entropy)
         with open(os.path.join(args.output_dir, f"{name}_metrics.txt"), "w") as f:
             for k, v in m.items():
                 f.write(f"{k}: {v}\n")

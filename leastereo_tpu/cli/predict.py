@@ -51,15 +51,24 @@ def run_frame(
     larger than the crop are sentinel-padded up to the next model-valid shape
     and evaluated whole instead of center-cropped (the reference always
     center-crops both prediction and ground truth, evaluation.py:288).
+
+    A ``fwd`` returning a tuple (e.g. ``(disp, entropy)`` with
+    ``--confidence``) yields a tuple of identically un-padded maps.
     """
     _, h, w = stack.shape
     if full_frame:
         crop_height, crop_width = pad_to_valid(max(h, crop_height), max(w, crop_width))
     left, right, _ = test_transform(stack, crop_height, crop_width, use_left=use_left)
-    disp = np.asarray(fwd(left[None], right[None]), np.float32)[0]
-    if h <= crop_height and w <= crop_width:
-        disp = disp[crop_height - h :, crop_width - w :]
-    return disp
+    out = fwd(left[None], right[None])
+    is_tuple = isinstance(out, tuple)
+
+    def unpad(x):
+        x = np.asarray(x, np.float32)[0]
+        if h <= crop_height and w <= crop_width:
+            x = x[crop_height - h :, crop_width - w :]
+        return x
+
+    return tuple(unpad(o) for o in out) if is_tuple else unpad(out)
 
 
 def main(argv=None) -> int:
@@ -119,8 +128,14 @@ def main(argv=None) -> int:
                     fwd, stack, args.crop_height, args.crop_width, use_left,
                     full_frame=getattr(args, "full_frame", False),
                 )
-                disp = np.asarray(disp)
             name = ds.entries[i].replace("/", "_")
+            if isinstance(disp, tuple):
+                disp, entropy = disp
+                Image.fromarray(
+                    (np.clip(entropy / max(entropy.max(), 1e-12), 0, 1) * 255).astype(np.uint8)
+                ).save(os.path.join(args.output_dir, f"{name}_conf.png"))
+                np.save(os.path.join(args.output_dir, f"{name}_conf.npy"), entropy)
+            disp = np.asarray(disp)
             Image.fromarray(colorize_disparity(disp)).save(os.path.join(args.output_dir, f"{name}.png"))
             np.save(os.path.join(args.output_dir, f"{name}.npy"), disp)
             if getattr(args, "save_gt", False):

@@ -169,6 +169,12 @@ def main(argv=None) -> int:
     # (multi-host: every host evaluates the full val list locally — duplicated
     # but simple, and val cost is negligible next to training).
     val_mesh = mesh if (args.test_batch_size % mesh.shape["data"] == 0 and jax.process_count() == 1) else None
+    if val_mesh is None and (mesh.shape["data"] > 1 or jax.process_count() > 1):
+        print(
+            "validation runs replicated (eval batch does not divide the data axis, "
+            "or multi-host): every host evaluates the full val list locally",
+            flush=True,
+        )
     val_loader = make_loader(val_ds, args.test_batch_size, shuffle=False, num_workers=args.workers,
                              sharding=sharding if val_mesh else None, drop_last=False,
                              process_index=0, process_count=1)
@@ -204,7 +210,24 @@ def main(argv=None) -> int:
             {"params": state.params, "batch_stats": state.batch_stats},
         )
 
-    early = EarlyStopping(args.patience, args.es_delta, args.ckpt_period, save_fn=save)
+    # n_epochs mode (reference train.py:393-429): fixed epoch count, no early
+    # stop — patience disabled; periodic saves gated on --ckpt_min_epoch.
+    n_epochs_mode = getattr(args, "loop_mode", "early_stop") == "n_epochs"
+    early = EarlyStopping(
+        args.epochs + 1 if n_epochs_mode else args.patience,
+        0.0 if n_epochs_mode else args.es_delta,  # ref n_epochs: plain loss < best
+        args.ckpt_period,
+        save_fn=save,
+    )
+    if n_epochs_mode and args.ckpt_min_epoch:
+        inner_save = early.save_fn
+
+        def gated_save(kind: str, epoch: int):
+            if kind == "periodic" and epoch < args.ckpt_min_epoch:
+                return
+            inner_save(kind, epoch)
+
+        early.save_fn = gated_save
 
     val_other = make_val_other(args, model)
 

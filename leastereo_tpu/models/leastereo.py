@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..ops.cost_volume import build_cost_volume
 from ..ops.pallas_softargmin import pallas_supported, soft_argmin_fused
-from ..ops.softargmin import soft_argmin, soft_argmin_fast
+from ..ops.softargmin import disparity_entropy, soft_argmin, soft_argmin_fast
 from .feature_net import FeatureNet
 from .genotypes import BEST_SCENEFLOW, Architecture
 from .matching_net import MatchingNet
@@ -52,6 +52,10 @@ class LEAStereoConfig:
     # (fp32 reassociation only), one VMEM-resident pass instead of several
     # full-volume HBM round trips. Falls back to the jnp parity path off-TPU.
     pallas_head: bool = True
+    # Also return the per-pixel disparity-entropy confidence map (reference
+    # DispEntropy, models/build_model_2d.py:11-24 — dead code there; wired
+    # here via predict/evaluate --confidence). Output becomes (disp, entropy).
+    return_entropy: bool = False
     # Optional PartitionSpec (as a tuple of axis names / None) constraining the
     # (B, D, H, W, 2C) cost volume, e.g. ("data", "disp") shards the disparity
     # axis across the mesh — the CP-analog for maxdisp-408 Middlebury frames
@@ -108,14 +112,18 @@ class LEAStereo(nn.Module):
         )(cost, train=train)
 
         if cfg.fast_head:
-            return soft_argmin_fast(mat, cfg.maxdisp)
-        if (
+            disp = soft_argmin_fast(mat, cfg.maxdisp)
+        elif (
             cfg.pallas_head
             and cfg.cost_volume_pspec is None  # kernel is single-device; GSPMD paths use jnp
             and pallas_supported(mat.shape[:4])
         ):
-            return soft_argmin_fused(mat, cfg.maxdisp)
-        return soft_argmin(mat, cfg.maxdisp)
+            disp = soft_argmin_fused(mat, cfg.maxdisp)
+        else:
+            disp = soft_argmin(mat, cfg.maxdisp)
+        if cfg.return_entropy:
+            return disp, disparity_entropy(mat, cfg.maxdisp)
+        return disp
 
 
 def best_sceneflow_model(config: LEAStereoConfig = LEAStereoConfig()) -> LEAStereo:

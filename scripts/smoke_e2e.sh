@@ -9,6 +9,9 @@ run=${1:-smoke}
 root=run/smoke_e2e_$run
 rm -rf "$root" predictions/smoke_e2e
 
+echo "=== [0/5] native host-IO library (optional: needs g++ + libpng)"
+sh scripts/build_native.sh || echo "native build unavailable; loaders fall back to PIL"
+
 common="--platform cpu --dataset sceneflow_part --listset sceneflow_part \
   --maxdisp 48 --crop_height 96 --crop_width 192 --workers 0"
 tiny="--fea_num_layers 3 --fea_filter_multiplier 2 --fea_block_multiplier 2 --fea_step 2 \

@@ -61,3 +61,21 @@ def test_param_count_matches_reference_scale(small_model):
     _, variables = small_model
     n = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(variables["params"]))
     assert 1.5e6 < n < 2.1e6, f"param count {n}"
+
+
+def test_forward_with_entropy(small_model):
+    """--confidence wiring: return_entropy yields (disp, entropy) with the
+    entropy map at full resolution (reference DispEntropy,
+    models/build_model_2d.py:11-24)."""
+    model, variables = small_model
+    cfg_e = LEAStereoConfig(maxdisp=48, compute_dtype="float32", return_entropy=True)
+    model_e = best_sceneflow_model(cfg_e)
+    rng = np.random.RandomState(2)
+    left = jnp.asarray(rng.randn(1, 48, 96, 3), jnp.float32)
+    right = jnp.asarray(rng.randn(1, 48, 96, 3), jnp.float32)
+    disp_ref = np.asarray(model.apply(variables, left, right))
+    disp, ent = model_e.apply(variables, left, right)
+    assert np.allclose(np.asarray(disp), disp_ref)
+    assert ent.shape == (1, 48, 96)
+    e = np.asarray(ent)
+    assert np.isfinite(e).all() and (e >= 0).all()
