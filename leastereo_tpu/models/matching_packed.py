@@ -29,6 +29,7 @@ from ..ops.packed3d import (
     conv1x1_packed,
     conv3x3_packed,
     pack,
+    repack,
     resize_packed,
     unpack,
 )
@@ -216,6 +217,11 @@ class PackedFixedCell(nn.Module):
             offset += len(states)
             states.append(Packed(sum(new_data), g=g, channels=self.c_out))
 
+        # The concat stays a free lane-concat (non-canonical map): successor
+        # cells repack it to their own g inside preprocess anyway, so an
+        # eager repack here would just round-trip transposes. Consumers that
+        # do suffer from the over-packed layout (the 3x3x3 skip convs) repack
+        # at their own input instead.
         concat = concat_lanes(states[-self.block_multiplier :])
         return prev_input, concat
 
@@ -275,6 +281,7 @@ class PackedMatchingNet(nn.Module):
             concats.append(concat)
             if i in skips:
                 fused = concat_lanes([concats[skips[i]], concat])
+                fused = repack(fused, choose_pack(fused.depth, fused.channels))
                 concat = PackedConvBR(ifm * 2, (3, 3, 3), name=f"skip_conv_{i}", **kw)(
                     fused, train=train
                 )

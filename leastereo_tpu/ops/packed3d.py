@@ -49,6 +49,7 @@ __all__ = [
     "Packed",
     "pack",
     "unpack",
+    "repack",
     "choose_pack",
     "conv3x3_packed",
     "conv1x1_packed",
@@ -134,16 +135,59 @@ def pack(x: jnp.ndarray, g: int) -> Packed:
     return Packed(x.reshape(b, d // g, h, w, g * c), g=g, channels=c)
 
 
+def take_lanes(x: jnp.ndarray, order, axis: int = -1) -> jnp.ndarray:
+    """``x[..., order, ...]`` along ``axis`` via static slices — TPU gathers
+    are slow; lane permutations are always run-structured here (concat maps),
+    so a concat of contiguous slices lowers to cheap copies."""
+    runs = _chan_runs(list(order))
+    if len(runs) == 1 and runs[0] == (0, x.shape[axis]):
+        return x
+    parts = [jax.lax.slice_in_dim(x, a, z, axis=axis) for a, z in runs]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=axis)
+
+
+def _canonical_order(p: Packed) -> np.ndarray:
+    return np.argsort([pg * p.channels + pc for pg, pc in p.map()], kind="stable")
+
+
 def unpack(p: Packed) -> jnp.ndarray:
     """Inverse of :func:`pack` (handles non-canonical maps)."""
     b, dg, h, w, _ = p.data.shape
     x = p.data
     if not p.is_canonical():
-        order = np.argsort([pg * p.channels + pc for pg, pc in p.map()], kind="stable")
-        x = jnp.take(x, jnp.asarray(order), axis=-1)
+        x = take_lanes(x, _canonical_order(p), axis=-1)
     x = x.reshape(b, dg, h, w, p.g, p.channels)
     x = jnp.transpose(x, (0, 1, 4, 2, 3, 5))
     return x.reshape(b, dg * p.g, h, w, p.channels)
+
+
+def repack(p: Packed, g_out: int) -> Packed:
+    """Re-tile a packed volume to packing factor ``g_out`` (canonical output).
+
+    A pure layout change: one lane slice-concat (if the map is non-canonical)
+    plus one tile<->lane transpose. Used at concat/skip boundaries so wide
+    concats (C >= 32) drop to the smallest g with ``g*C >= 128`` lanes —
+    over-packed tensors make the banded 3x3x3 conv pay a ``(g+2)/3`` FLOP
+    blowup on an already-lane-full operand."""
+    d, c, g = p.depth, p.channels, p.g
+    assert d % g_out == 0, (d, g_out)
+    if g == g_out and p.is_canonical():
+        return p
+    b, dg, h, w, _ = p.data.shape
+    x = p.data
+    if not p.is_canonical():
+        x = take_lanes(x, _canonical_order(p), axis=-1)
+    if g_out < g:
+        r = g // g_out
+        x = x.reshape(b, dg, h, w, r, g_out * c)
+        x = jnp.transpose(x, (0, 1, 4, 2, 3, 5))
+        x = x.reshape(b, dg * r, h, w, g_out * c)
+    elif g_out > g:
+        r = g_out // g
+        x = x.reshape(b, dg // r, r, h, w, g * c)
+        x = jnp.transpose(x, (0, 1, 3, 4, 2, 5))
+        x = x.reshape(b, dg // r, h, w, g_out * c)
+    return Packed(x, g=g_out, channels=c)
 
 
 def choose_pack(depth: int, channels: int, max_lanes: int = 512) -> int:
@@ -152,7 +196,10 @@ def choose_pack(depth: int, channels: int, max_lanes: int = 512) -> int:
     ``(g+2)/3`` FLOP factor), else the largest divisor under ``max_lanes``.
 
     Falls back gracefully for awkward depths (e.g. Middlebury maxdisp 408 ->
-    D = 136/68/34 per level, where only g in {2, 4, 8} divide)."""
+    D = 136/68/34 per level, where only g in {2, 4, 8} divide). ``g = 1``
+    is never chosen when any g >= 2 divides: the banded conv's halo concat
+    reads ``(g+2)/g`` x the input, which is worst (3x) at g = 1 — measured
+    slower than g = 2 even for lane-full C = 128 operands."""
     divisors = [g for g in (2, 4, 8, 16) if depth % g == 0 and g * channels <= max_lanes]
     full = [g for g in divisors if g * channels >= 128]
     if full:
@@ -285,6 +332,19 @@ def conv1x1_packed(p: Packed, kernel: jnp.ndarray) -> Packed:
 
 
 @functools.lru_cache(maxsize=None)
+def _depth_tile_operator(
+    d_in: int, g_in: int, d_out: int, g_out: int, align_corners: bool
+) -> np.ndarray:
+    """Static ``(Dg_in, g_in, Dg_out * g_out)`` depth interpolation operator:
+    Q[t, g, t'*g_out + g'] = M[t'*g_out + g', t*g_in + g] — the interp matrix
+    re-tiled. Channels stay a free (batch-like) axis of the contraction, so
+    the cost is the true depth-interp FLOPs, not a dense (tile x lane)^2
+    blowup carrying a C x C identity."""
+    m = interp_matrix(d_in, d_out, align_corners)  # (d_out, d_in)
+    return np.ascontiguousarray(m.T.reshape(d_in // g_in, g_in, d_out))
+
+
+@functools.lru_cache(maxsize=None)
 def _depth_mix_operator(
     d_in: int,
     g_in: int,
@@ -295,7 +355,12 @@ def _depth_mix_operator(
     align_corners: bool,
 ) -> np.ndarray:
     """Static ``(Dg_in, L_in, Dg_out, L_out)`` joint depth+lane interpolation
-    operator: Q[t, l, t', g'*C + c(l)] = M[t'*g_out + g', t*g_in + g(l)]."""
+    operator: Q[t, l, t', g'*C + c(l)] = M[t'*g_out + g', t*g_in + g(l)].
+
+    Dense over lanes (carries a C x C identity, ~C x more FLOPs than the
+    factored form) but emits the packed layout straight out of the MXU with
+    no narrow-minor transpose — faster than the factored path whenever the
+    output volume is no bigger than the input (downsampling)."""
     m = interp_matrix(d_in, d_out, align_corners)  # (d_out, d_in)
     dgi, dgo = d_in // g_in, d_out // g_out
     li = len(lane_map)
@@ -326,45 +391,79 @@ def resize_packed(
     assert d_out % g_out == 0, (d_out, g_out)
     b, dg, h, w, li = p.data.shape
     d_in = p.depth
-    x = p.data
     mix_depth = d_in != d_out or p.g != g_out or not p.is_canonical()
+    if mix_depth and d_in == d_out and h == h_out and w == w_out:
+        return repack(p, g_out)  # pure layout change, no interpolation
+    x = p.data
 
-    # Logical axis ids at each physical position: 0=B, 1=Dg, 2=H, 3=W, 4=L.
-    order = [0, 1, 2, 3, 4]
+    # Logical axis names at each physical position.
+    ids = ["b", "dg", "h", "w", "l"]
 
-    def contract(x, logical_axis, mat):
-        pos = order.index(logical_axis)
+    def contract(x, ids, name, mat, rhs_contract=None):
+        pos = ids.index(name)
+        dims = (pos,) if rhs_contract is None else (pos, ids.index("g"))
+        rdims = (1,) if rhs_contract is None else rhs_contract
         y = jax.lax.dot_general(
             x,
             jnp.asarray(mat, x.dtype),
-            dimension_numbers=(((pos,), (1,)), ((), ())),
+            dimension_numbers=((dims, rdims), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
         )
-        order.pop(pos)
-        order.append(logical_axis)
-        return y
+        ids = [n for i, n in enumerate(ids) if i not in dims] + [name]
+        return y, ids
 
     if h != h_out:
-        x = contract(x, 2, interp_matrix(h, h_out, align_corners))
+        x, ids = contract(x, ids, "h", interp_matrix(h, h_out, align_corners))
     if w != w_out:
-        x = contract(x, 3, interp_matrix(w, w_out, align_corners))
+        x, ids = contract(x, ids, "w", interp_matrix(w, w_out, align_corners))
 
-    if mix_depth:
+    if mix_depth and d_out <= d_in:
+        # Downsample/same-depth: the dense joint (tile, lane) operator. It
+        # carries a C x C identity (~C x the interp FLOPs) but lands the
+        # packed layout straight out of the MXU — measured faster than the
+        # factored form + narrow-minor transpose when the output is small.
         q = _depth_mix_operator(d_in, p.g, d_out, g_out, p.channels, p.map(), align_corners)
-        dg_pos, l_pos = order.index(1), order.index(4)
+        dg_pos, l_pos = ids.index("dg"), ids.index("l")
         x = jax.lax.dot_general(
             x,
-            jnp.asarray(q, x.dtype),
+            jnp.asarray(q.reshape(q.shape[0], q.shape[1], -1), x.dtype),
             dimension_numbers=(((dg_pos, l_pos), (0, 1)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
-        )  # free lhs axes in order, then (Dg_out, L_out)
-        for pos in sorted((dg_pos, l_pos), reverse=True):
-            order.pop(pos)
-        order += [1, 4]
+        )  # free axes + joint (Dg_out * L_out)
+        shape = list(x.shape)
+        shape[-1:] = [d_out // g_out, g_out * p.channels]
+        x = x.reshape(shape)
+        ids = [n for i, n in enumerate(ids) if i not in (dg_pos, l_pos)] + ["dg", "l"]
+        perm = [ids.index(n) for n in ("b", "dg", "h", "w", "l")]
+        x = jnp.transpose(x, perm)
+        return Packed(x, g=g_out, channels=p.channels)
 
-    perm = [order.index(i) for i in range(5)]
+    if mix_depth:
+        # Upsample: canonicalise lanes (static slice-concat), split L ->
+        # (g, C), then contract (Dg, g) jointly with the re-tiled interp
+        # matrix; C rides along as a free axis. The dense form's C x blowup
+        # is unaffordable at the enlarged output; the price here is one
+        # narrow-minor transpose of the output.
+        lpos = ids.index("l")
+        if not p.is_canonical():
+            x = take_lanes(x, _canonical_order(p), axis=lpos)
+        shape = list(x.shape)
+        shape[lpos : lpos + 1] = [p.g, p.channels]
+        x = x.reshape(shape)
+        ids = ids[:lpos] + ["g", "c"] + ids[lpos + 1 :]
+        q = _depth_tile_operator(d_in, p.g, d_out, g_out, align_corners)
+        x, ids = contract(x, ids, "dg", q, rhs_contract=(0, 1))
+        # x: free axes + joint (Dg_out * g_out); split and restore layout.
+        shape = list(x.shape)
+        shape[-1:] = [d_out // g_out, g_out]
+        x = x.reshape(shape)
+        ids = ids[:-1] + ["dg", "g"]
+        perm = [ids.index(n) for n in ("b", "dg", "h", "w", "g", "c")]
+        x = jnp.transpose(x, perm)
+        x = x.reshape(b, d_out // g_out, h_out, w_out, g_out * p.channels)
+        return Packed(x, g=g_out, channels=p.channels)
+
+    perm = [ids.index(n) for n in ("b", "dg", "h", "w", "l")]
     if perm != [0, 1, 2, 3, 4]:
         x = jnp.transpose(x, perm)
-    if mix_depth:
-        return Packed(x, g=g_out, channels=p.channels)
     return Packed(x, g=p.g, channels=p.channels, lane_map=p.lane_map)

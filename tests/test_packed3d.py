@@ -26,6 +26,7 @@ from leastereo_tpu.ops.packed3d import (
     conv1x1_packed,
     conv3x3_packed,
     pack,
+    repack,
     resize_packed,
     unpack,
 )
@@ -106,10 +107,38 @@ def test_choose_pack():
     assert choose_pack(64, 16) == 8
     assert choose_pack(64, 32) == 4
     assert choose_pack(64, 8) == 16
+    # Wide concats re-tile to the smallest g >= 2 that fills the lanes.
+    assert choose_pack(32, 128) == 2
+    assert choose_pack(32, 64) == 2
     # Middlebury maxdisp-408 depths: 136/68/34 — graceful divisors only
     assert choose_pack(68, 16) == 4
     assert choose_pack(34, 32) == 2
     assert choose_pack(7, 16) == 1
+
+
+def test_repack(rng):
+    x = jnp.asarray(rng.randn(2, 16, 4, 6, 5), jnp.float32)
+    for g_in in (1, 2, 4, 8):
+        for g_out in (1, 2, 4, 8, 16):
+            np.testing.assert_allclose(unpack(repack(pack(x, g_in), g_out)), x)
+    # Non-canonical input (lane concat) re-tiles to canonical too.
+    a, b = x[..., :3], x[..., 3:]
+    pc = concat_lanes([pack(a, 4), pack(b, 4)])
+    for g_out in (1, 2, 8):
+        got = repack(pc, g_out)
+        assert got.is_canonical()
+        np.testing.assert_allclose(unpack(got), x)
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+def test_resize_packed_noncanonical_input(rng, align_corners):
+    """Resize must see through a lane-concat (non-canonical) layout."""
+    x = jnp.asarray(rng.randn(1, 8, 6, 10, 8), jnp.float32)
+    pc = concat_lanes([pack(x[..., :5], 4), pack(x[..., 5:], 4)])
+    for out_dhw, g_out in [((4, 3, 5), 2), ((16, 12, 20), 8), ((8, 6, 10), 2)]:
+        got = unpack(resize_packed(pc, out_dhw, g_out, align_corners=align_corners))
+        ref = resize3d(x, out_dhw, align_corners=align_corners)
+        np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
 class TestPackedMatchingNet:
