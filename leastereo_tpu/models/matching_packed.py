@@ -237,6 +237,12 @@ class PackedMatchingNet(nn.Module):
     skips: tuple[tuple[int, int], ...] = ((1, 4), (4, 8))
     dtype: jnp.dtype = jnp.bfloat16
     volume_pspec: tuple | None = None
+    # Profiling hook (scripts/profile_forward.py): truncate the net right
+    # after the named stage ("stem0", "stem1", "cell_<i>", "last_<s>") and
+    # return that stage's raw packed data. Stage deltas then time the REAL
+    # model's layers — no replica drift (the failure mode of the retired
+    # profile_matching_trunc.py). None = normal full forward.
+    profile_stop: str | None = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> jnp.ndarray:
@@ -264,7 +270,11 @@ class PackedMatchingNet(nn.Module):
                 channels=stem0.channels,
                 lane_map=stem0.lane_map,
             )
+        if self.profile_stop == "stem0":
+            return stem0.data
         stem1 = PackedConvBR(ifm, (3, 3, 3), name="stem1", **kw)(stem0, train=train)
+        if self.profile_stop == "stem1":
+            return stem1.data
 
         concats: list[Packed] = []
         s0, s1 = stem0, stem1
@@ -286,6 +296,8 @@ class PackedMatchingNet(nn.Module):
                     fused, train=train
                 )
             s0, s1 = prev_raw, concat
+            if self.profile_stop == f"cell_{i}":
+                return concat.data
 
         last = concats[-1]
         level = self.genotype.network_path[-1]
@@ -293,12 +305,18 @@ class PackedMatchingNet(nn.Module):
         if level >= 3:
             last = PackedConvBR(ifm * 4, (1, 1, 1), name="last_24", **kw)(last, train=train)
             last = resize_packed(last, (d // 4, h // 4, w // 4), choose_pack(d // 4, ifm * 4))
+            if self.profile_stop == "last_24":
+                return last.data
         if level >= 2:
             last = PackedConvBR(ifm * 2, (1, 1, 1), name="last_12", **kw)(last, train=train)
             last = resize_packed(last, (d // 2, h // 2, w // 2), choose_pack(d // 2, ifm * 2))
+            if self.profile_stop == "last_12":
+                return last.data
         if level >= 1:
             last = PackedConvBR(ifm, (1, 1, 1), name="last_6", **kw)(last, train=train)
             last = resize_packed(last, (d, h, w), choose_pack(d, ifm))
+            if self.profile_stop == "last_6":
+                return last.data
         mat = PackedConvBR(1, (3, 3, 3), use_bn=False, use_relu=False, name="last_3", **kw)(
             last, train=train
         )

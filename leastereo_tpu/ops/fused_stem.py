@@ -52,22 +52,6 @@ def _conv2d(x, k, padding):
     )
 
 
-def _place(arr: jnp.ndarray, offset: int, total: int) -> jnp.ndarray:
-    """Embed ``arr`` (width axis 2) at column ``offset`` of a zero row of
-    width ``total``; negative offsets / overhangs are trimmed."""
-    b, h, w, f = arr.shape
-    src_lo = max(-offset, 0)
-    src_hi = min(w, total - offset)
-    if src_hi <= src_lo:
-        return jnp.zeros((b, h, total, f), arr.dtype)
-    arr = arr[:, :, src_lo:src_hi, :]
-    pad_l = offset + src_lo
-    pad_r = total - pad_l - (src_hi - src_lo)
-    if pad_l or pad_r:
-        arr = jnp.pad(arr, ((0, 0), (0, 0), (pad_l, pad_r), (0, 0)))
-    return arr
-
-
 def fused_cost_volume_stem(
     left: jnp.ndarray,
     right: jnp.ndarray,
@@ -89,14 +73,6 @@ def fused_cost_volume_stem(
     Returns:
       ``(B, num_disp, H, W, F)`` stem convolution output (pre-BN/ReLU), or
       its packed form when ``pack_g`` is given.
-
-    The assembly exploits that away from the ``w = d`` diagonal the output is
-    *d-independent in its left half and a pure column-shift in its right
-    half*: ``out[d, w] = A(w) + S(w - d)`` for ``w >= d + 2`` and interior d,
-    where ``A = sum_kd P0_kd`` and ``S(j) = sum_kd CR_kd(j + 3 - kd)`` are two
-    2-D precomputes. The t-mask select chains (a full-volume VPU pass in the
-    earlier formulation — measured several ms at the KITTI shape) only run on
-    the narrow ``w <= d + 1`` band, ~4% of the volume.
     """
     b, h, w, c = left.shape
     f = kernel.shape[-1]
@@ -104,7 +80,6 @@ def fused_cost_volume_stem(
         raise ValueError(f"expected (3,3,3,{2*c},F) kernel, got {kernel.shape}")
     wl = kernel[:, :, :, :c, :]  # left-half weights, per kd: (3,3,C,F)
     wr = kernel[:, :, :, c:, :]
-    d_n = num_disp
 
     # ---- left half: partial-width convs P[kd][t] -------------------------
     # P[kd][t][h,w] = sum_{kh, kw>=t} wl[kd,kh,kw] * L[h+kh-1, w+kw-1]
@@ -122,79 +97,66 @@ def fused_cost_volume_stem(
     # erroneously reads R at the volume's zero column w' = W).
     corr = [_conv2d(right, wr[kd][:, 2:], ((1, 1), (0, 0))) for kd in range(3)]
 
-    # ---- d-independent interior precomputes ------------------------------
-    # A variants: sum of full-width left convs over the kd set valid at d.
-    kd_sets = {
-        "mid": tuple(kd for kd in range(3)),
-        "lo": (1, 2),   # d = 0: kd = 0 reads plane -1 -> dropped
-        "hi": (0, 1),   # d = D-1: kd = 2 reads plane D -> dropped
-    }
-    if d_n == 1:
-        kd_sets = {k: tuple(kd for kd in v if kd == 1) for k, v in kd_sets.items()}
-        kd_sets["only"] = (1,)
-    a_of = {k: sum(p[kd][0] for kd in kds) for k, kds in kd_sets.items()}
-    # S variants on j = w - d in [-(D-1), W): S(j) = sum_kd CR_kd(j + 3 - kd).
-    j0 = -(d_n - 1)
-    ws = w - j0
-    s_of = {
-        k: sum(_place(cr[kd], kd - 3 - j0, ws) for kd in kds)
-        for k, kds in kd_sets.items()
-    }
+    # ---- assembly ---------------------------------------------------------
+    # Left half, vectorised over d via t-masks (fused selects, no gathers).
+    # In packed mode the disparity index is per lane group: d = tile*g + l//f.
+    if pack_g is None:
+        d_idx = jnp.arange(num_disp).reshape(1, num_disp, 1, 1, 1)
+        out = jnp.zeros((b, num_disp, h, w, f), dtype=left.dtype)
+        tile_p = lambda x: x[:, None]  # (b, 1, h, w, f)
+    else:
+        g = pack_g
+        assert num_disp % g == 0, (num_disp, g)
+        lane_d = np.repeat(np.arange(g), f)  # (g*f,)
+        tiles = jnp.arange(num_disp // g).reshape(1, -1, 1, 1, 1)
+        d_idx = tiles * g + jnp.asarray(lane_d).reshape(1, 1, 1, 1, g * f)
+        out = jnp.zeros((b, num_disp // g, h, w, g * f), dtype=left.dtype)
+        tile_p = lambda x: jnp.tile(x, (1, 1, 1, g))[:, None]  # (b, 1, h, w, g*f)
+    w_idx = jnp.arange(w).reshape(1, 1, 1, w, 1)
+    for kd in range(3):
+        # valid kd: 0 <= d+kd-1 < num_disp
+        valid = (d_idx + kd - 1 >= 0) & (d_idx + kd - 1 < num_disp)
+        t = d_idx + kd - w_idx  # clamp(t,0,3): taps suppressed at this column
+        p0, p1, p2 = (tile_p(x) for x in p[kd])
+        zero = jnp.zeros((), dtype=left.dtype)
+        contrib = jnp.where(t <= 0, p0, jnp.where(t == 1, p1, jnp.where(t == 2, p2, zero)))
+        out = out + jnp.where(valid, contrib, zero)
 
-    def variant(d):
-        if d_n == 1:
-            return "only"
-        if d == 0:
-            return "lo"
-        if d == d_n - 1:
-            return "hi"
-        return "mid"
-
-    w_band = jnp.arange(w).reshape(1, 1, w, 1)
-    zero = jnp.zeros((), dtype=left.dtype)
-
-    # Each d-slice is PURE elementwise-on-slices (adds of dynamic slices and
-    # zero-padded narrow corrections — no W-axis concat), so XLA fuses the
-    # whole assembly into the single packed-stack write below: the volume is
-    # materialised exactly once.
-    d_slices = []
-    for d in range(d_n):
-        v = variant(d)
-        kds = kd_sets[v]
-        lo_w = min(d + 2, w)  # band: columns where the left half needs masks
-        # Everywhere: A(w) + S(w - d).
-        sl = a_of[v] + jax.lax.dynamic_slice_in_dim(s_of[v], -d - j0, w, axis=2)
-        # Band delta on the leading lo_w columns: exact t-mask selects minus
-        # the full-width P0 already counted in A; zero-padded to full width.
-        wb = w_band[:, :, :lo_w, :]
-        delta = None
-        for kd in kds:
-            t = d + kd - wb
-            p0, p1, p2 = (x[:, :, :lo_w, :] for x in p[kd])
-            dkd = jnp.where(
-                t <= 0, zero, jnp.where(t == 1, p1 - p0, jnp.where(t == 2, p2 - p0, -p0))
-            )
-            delta = dkd if delta is None else delta + dkd
-        if delta is not None and lo_w > 0:
-            sl = sl + jnp.pad(delta, ((0, 0), (0, 0), (0, w - lo_w), (0, 0)))
-        # Right-edge fix: output w = W-1, tap kw=2 read R[W-d-kd+1] but the
-        # volume is zero at w' = W; subtract when that read was in range.
-        fix = None
-        for kd in kds:
+    # Right half: static per-d shifted slices of CR (build_cost_volume-style
+    # pad/slice, statically unrolled; XLA fuses into the output write).
+    zeros_col = None
+    r_slices = []
+    for d in range(num_disp):
+        acc = None
+        for kd in range(3):
+            if not (0 <= d + kd - 1 < num_disp):
+                continue
+            s = d + kd - 3  # CR column for output w is w - s
+            if s >= w:  # whole row reads left of R's support: all zero
+                continue
+            if s <= 0:
+                sl = cr[kd][:, :, -s : -s + w, :]
+            else:
+                if zeros_col is None:
+                    zeros_col = jnp.zeros((b, h, 1, f), dtype=left.dtype)
+                sl = jnp.concatenate(
+                    [jnp.broadcast_to(zeros_col, (b, h, s, f)), cr[kd][:, :, : w - s, :]],
+                    axis=2,
+                )
+            # Right-edge fix: output w = W-1, tap kw=2 read R[W-d-kd+1] but the
+            # volume is zero at w' = W; subtract when that read was in range.
             u = w - d - kd + 1
             if 0 <= u < w:
-                t = corr[kd][:, :, u : u + 1, :]
-                fix = t if fix is None else fix + t
-        if fix is not None:
-            sl = sl - jnp.pad(fix, ((0, 0), (0, 0), (w - 1, 0), (0, 0)))
-        d_slices.append(sl)
-
+                fix = sl[:, :, w - 1 :, :] - corr[kd][:, :, u : u + 1, :]
+                sl = jnp.concatenate([sl[:, :, : w - 1, :], fix], axis=2)
+            acc = sl if acc is None else acc + sl
+        if acc is None:
+            acc = jnp.zeros((b, h, w, f), dtype=left.dtype)
+        r_slices.append(acc)
     if pack_g is None:
-        return jnp.stack(d_slices, axis=1)
-    g = pack_g
-    assert d_n % g == 0, (d_n, g)
+        return out + jnp.stack(r_slices, axis=1)
     grouped = [
-        jnp.concatenate(d_slices[t * g : (t + 1) * g], axis=-1)
-        for t in range(d_n // g)
+        jnp.concatenate(r_slices[t * pack_g : (t + 1) * pack_g], axis=-1)
+        for t in range(num_disp // pack_g)
     ]
-    return jnp.stack(grouped, axis=1)
+    return out + jnp.stack(grouped, axis=1)
