@@ -53,13 +53,26 @@ def build_model(args) -> LEAStereo:
 
 class MetricLogger:
     """stdout + JSONL scalar logging (replaces the reference's TensorBoard
-    writer, train.py:100-101; the JSONL is trivially importable anywhere)."""
+    writer, train.py:100-101; the JSONL is trivially importable anywhere).
 
-    def __init__(self, logs_dir: str | None):
+    ``tensorboard=True`` additionally writes standard TB event files next to
+    the JSONL (reference train.py:100-101 / search.py:57 capability for
+    standard-tooling consumers); requires tensorboardX, no-ops with a
+    warning if absent."""
+
+    def __init__(self, logs_dir: str | None, tensorboard: bool = False):
         self.path = None
+        self._tb = None
         if logs_dir:
             os.makedirs(logs_dir, exist_ok=True)
             self.path = os.path.join(logs_dir, "metrics.jsonl")
+            if tensorboard:
+                try:
+                    from tensorboardX import SummaryWriter
+
+                    self._tb = SummaryWriter(logs_dir)
+                except ImportError:
+                    print("tensorboardX not available; --tensorboard ignored")
 
     def log(self, step: int, **scalars) -> None:
         payload = {"step": int(step)}
@@ -69,6 +82,15 @@ class MetricLogger:
         if self.path:
             with open(self.path, "a") as f:
                 f.write(json.dumps(payload) + "\n")
+        if self._tb is not None:
+            for k, v in payload.items():
+                if k != "step":
+                    self._tb.add_scalar(k, v, payload["step"])
+
+    def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
+            self._tb = None
 
 
 class Timer:

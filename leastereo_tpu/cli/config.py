@@ -91,11 +91,20 @@ def _add_mesh_args(p: argparse.ArgumentParser) -> None:
     )
 
 
+def _add_log_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--tensorboard", action="store_true",
+        help="also write TensorBoard event files next to metrics.jsonl "
+        "(reference train.py:100-101 / search.py:57 TB scalars)",
+    )
+
+
 def train_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Retrain / fine-tune a decoded LEAStereo model (reference train.py)")
     add_model_args(p)
     add_data_args(p)
     _add_mesh_args(p)
+    _add_log_args(p)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--test_batch_size", type=int, default=1)
     p.add_argument("--epochs", type=int, default=2048)
@@ -147,6 +156,7 @@ def search_parser() -> argparse.ArgumentParser:
     add_model_args(p, with_arch_files=False)
     add_data_args(p)
     _add_mesh_args(p)
+    _add_log_args(p)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--lr", type=float, default=0.025)

@@ -151,7 +151,7 @@ def main(argv=None) -> int:
 
     saver = ExperimentSaver(args.run_root, args.dataset, "train", args.experiment, resume=bool(args.resume))
     saver.save_parameters(args)
-    log = MetricLogger(saver.logs_dir)
+    log = MetricLogger(saver.logs_dir, tensorboard=getattr(args, "tensorboard", False))
 
     lists = ListSet.resolve(args.listset, args.lists_dir)
     crop = (args.crop_height, args.crop_width)

@@ -187,24 +187,49 @@ def aggregate_metrics(eval_dir: str) -> dict:
     return {k: v / n for k, v in sums.items()}
 
 
-def render_new_tagil_previews(dataset_dir: str, out_dir: str) -> int:
+def render_new_tagil_previews(
+    dataset_dir: str, out_dir: str, list_file: str | None = None
+) -> int:
     """8-bit preview renders of the 16/32-bit Tagil tifs
-    (reference dataloaders/new_tagil_render.py)."""
+    (reference ``dataloaders/new_tagil_render.py``): per-sample left/right
+    image renders rescaled to [0, 250] and a lidar-disparity render rescaled
+    to [30, 250] with NaNs (occlusions) rendered black. ``list_file``
+    optionally restricts to the sample names it lists (one per line)."""
     from PIL import Image
+
+    keep = None
+    if list_file is not None:
+        with open(list_file) as fh:
+            keep = {line.strip() for line in fh if line.strip()}
+
+    def rescale(arr: np.ndarray, new_min: float, new_max: float) -> np.ndarray:
+        lo = np.nanmin(arr)
+        rng = max(float(np.nanmax(arr) - lo), 1e-6)
+        out = (arr.astype(np.float64) - lo) * (new_max - new_min) / rng + new_min
+        out[np.isnan(out)] = 0
+        return out.astype(np.uint8)
 
     os.makedirs(out_dir, exist_ok=True)
     count = 0
     for entry in sorted(os.scandir(dataset_dir), key=lambda e: e.name):
         if not entry.is_dir() or entry.name.startswith("."):
             continue
-        for fn in ("img_L.tif", "img_R.tif"):
+        if keep is not None and entry.name not in keep:
+            continue
+        for fn, lo_hi in (
+            ("img_L.tif", (0, 250)),
+            ("img_R.tif", (0, 250)),
+            ("disp_L_lidar0.tif", (30, 250)),
+            ("disp_L_lidar.tif", (30, 250)),
+        ):
             src = os.path.join(entry.path, fn)
             if not os.path.exists(src):
                 continue
             arr = np.asarray(Image.open(src), np.float32)
-            lo, hi = np.nanpercentile(arr, [1, 99])
-            arr = np.clip((arr - lo) / max(hi - lo, 1e-6) * 255, 0, 255).astype(np.uint8)
-            Image.fromarray(arr).save(os.path.join(out_dir, f"{entry.name}_{fn}.png"))
+            img = rescale(arr, *lo_hi)
+            Image.fromarray(img).save(
+                os.path.join(out_dir, f"{entry.name}_render_{fn.removesuffix('.tif')}.png")
+            )
             count += 1
     return count
 

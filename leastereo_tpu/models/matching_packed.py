@@ -64,14 +64,21 @@ class PackedBatchNorm(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, p: Packed, *, train: bool = False) -> Packed:
+    def __call__(self, p: Packed | None, *, train: bool = False, fold: bool = False):
         c = self.channels
-        assert p.channels == c, (p.channels, c)
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         ra_mean = self.variable("batch_stats", "mean", nn.initializers.zeros, None, (c,), jnp.float32)
         ra_var = self.variable("batch_stats", "var", nn.initializers.ones, None, (c,), jnp.float32)
 
+        if fold:
+            # Eval-mode folded affine: the caller scales its conv kernel by w
+            # and adds b in the conv epilogue (see PackedConvBR). Same algebra.
+            assert not train, "BN folding is eval-only"
+            w_c = scale * jax.lax.rsqrt(ra_var.value + self.epsilon)
+            return w_c, bias - ra_mean.value * w_c
+
+        assert p.channels == c, (p.channels, c)
         if train:
             assert p.is_canonical(), "train-mode BN requires canonical lane layout"
             x32 = p.data.astype(jnp.float32)
@@ -111,6 +118,11 @@ class PackedConvBR(nn.Module):
     def __call__(self, p: Packed, *, train: bool = False) -> Packed:
         ks = tuple(self.kernel_size)
         kernel = _KernelParam((*ks, p.channels, self.features), name="conv")()
+        fold = self.use_bn and not train
+        if fold:
+            bn = PackedBatchNorm(self.features, dtype=self.dtype, name="bn")
+            w_c, b_c = bn(None, fold=True)
+            kernel = kernel * w_c  # fp32 fold over the tiny kernel
         kernel = kernel.astype(self.dtype)
         if ks == (3, 3, 3):
             y = conv3x3_packed(p, kernel)
@@ -118,7 +130,11 @@ class PackedConvBR(nn.Module):
             y = conv1x1_packed(p, kernel.reshape(p.channels, self.features))
         else:
             raise NotImplementedError(ks)
-        if self.use_bn:
+        if fold:
+            # Conv outputs are canonical: bias tiles straight across lanes.
+            b_l = jnp.tile(b_c.astype(self.dtype), y.g)
+            y = Packed(y.data + b_l, g=y.g, channels=y.channels)
+        elif self.use_bn:
             y = PackedBatchNorm(self.features, dtype=self.dtype, name="bn")(y, train=train)
         if self.use_relu:
             y = Packed(nn.relu(y.data), g=y.g, channels=y.channels, lane_map=y.lane_map)
@@ -136,6 +152,13 @@ class PackedFusedStem0(nn.Module):
     @nn.compact
     def __call__(self, left: jnp.ndarray, right: jnp.ndarray, num_disp: int, *, train: bool = False) -> Packed:
         kernel = _KernelParam((3, 3, 3, 2 * left.shape[-1], self.features), name="conv")()
+        bn = PackedBatchNorm(self.features, dtype=self.dtype, name="bn")
+        fold = not train
+        if fold:
+            # The whole assembly is linear in the kernel, so the eval BN
+            # scale folds into it exactly; bias+relu ride the volume write.
+            w_c, b_c = bn(None, fold=True)
+            kernel = kernel * w_c
         out = fused_cost_volume_stem(
             left.astype(self.dtype),
             right.astype(self.dtype),
@@ -144,7 +167,10 @@ class PackedFusedStem0(nn.Module):
             pack_g=self.pack_g,
         )
         p = Packed(out, g=self.pack_g, channels=self.features)
-        p = PackedBatchNorm(self.features, dtype=self.dtype, name="bn")(p, train=train)
+        if fold:
+            b_l = jnp.tile(b_c.astype(self.dtype), p.g)
+            return Packed(nn.relu(p.data + b_l), g=p.g, channels=p.channels)
+        p = bn(p, train=train)
         return Packed(nn.relu(p.data), g=p.g, channels=p.channels)
 
 

@@ -10,6 +10,13 @@ Precision policy: parameters and BN statistics live in float32; compute dtype
 is configurable (bfloat16 by default on TPU). BN matches torch semantics
 (momentum 0.1 on running stats == flax momentum 0.9; eps 1e-5; biased batch
 variance for normalization).
+
+Inference BN folding: in eval mode the BN affine is constant per channel, so
+it is folded into the convolution — kernel scaled by ``scale/sqrt(var+eps)``
+(a (Cout,)-broadcast on the tiny kernel) and the bias applied in the conv
+epilogue. Same algebra as normalize-then-affine; removes the separate
+full-volume BN pass XLA sometimes fails to fuse. Train mode keeps the
+batch-statistics path bit-for-bit unchanged.
 """
 
 from __future__ import annotations
@@ -17,11 +24,12 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .conv3d import conv3d_decomposed
 
-__all__ = ["ConvBR", "conv_init"]
+__all__ = ["ConvBR", "conv_init", "KernelParam", "BNAffine"]
 
 # Kaiming-normal, fan_out, relu gain — parity with torch
 # nn.init.kaiming_normal_(w, mode='fan_out', nonlinearity='relu')
@@ -29,33 +37,35 @@ __all__ = ["ConvBR", "conv_init"]
 conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
 
 
-class _Conv3D(nn.Module):
-    """Stride-1 3D conv computed depth-decomposed (see ``ops/conv3d.py``).
+class KernelParam(nn.Module):
+    """Holds a conv kernel param named ``kernel`` — nested under a module
+    named ``conv`` this reproduces ``nn.Conv``'s ``conv/kernel`` param path."""
 
-    Drop-in for ``nn.Conv`` (same ``kernel`` param name/shape/init, DHWIO),
-    chosen by ConvBR for every stride-1 3D convolution: XLA's native 3D conv
-    lowering on TPU leaves ~1.5x on the table vs the folded-2D form.
-    """
-
-    features: int
-    kernel_size: tuple[int, int, int]
-    padding: tuple[tuple[int, int], ...]
-    dtype: jnp.dtype = jnp.bfloat16
+    shape: tuple[int, ...]
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        kernel = self.param(
-            "kernel",
-            conv_init,
-            (*self.kernel_size, x.shape[-1], self.features),
-            jnp.float32,
-        )
-        return conv3d_decomposed(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            spatial_padding=(self.padding[1], self.padding[2]),
-            depth_padding=self.padding[0],
-        )
+    def __call__(self) -> jnp.ndarray:
+        return self.param("kernel", conv_init, self.shape, jnp.float32)
+
+
+class BNAffine(nn.Module):
+    """Declares the ``nn.BatchNorm`` variable tree (scale/bias params +
+    mean/var batch_stats, identical names/shapes/inits) and returns the
+    folded eval-mode per-channel affine ``(w, b)`` with
+    ``w = scale * rsqrt(var + eps)``, ``b = bias - mean * w`` (fp32)."""
+
+    features: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        c = self.features
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.variable("batch_stats", "mean", nn.initializers.zeros, None, (c,), jnp.float32)
+        var = self.variable("batch_stats", "var", nn.initializers.ones, None, (c,), jnp.float32)
+        w = scale * jax.lax.rsqrt(var.value + self.epsilon)
+        return w, bias - mean.value * w
 
 
 class ConvBR(nn.Module):
@@ -85,27 +95,37 @@ class ConvBR(nn.Module):
             # strided convs (feature stem1, stride 3 pad 1,
             # reference retrain/new_model_2d.py:94) the two differ.
             padding = ((padding, padding),) * len(self.kernel_size)
+
+        kernel = KernelParam(
+            (*self.kernel_size, x.shape[-1], self.features), name="conv"
+        )()
+        fold = self.use_bn and not train
+        if fold:
+            w, b = BNAffine(self.features, name="bn")()
+            kernel = kernel * w  # fp32 fold, then one cast
+
+        kernel = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
         if len(self.kernel_size) == 3 and tuple(strides) == (1, 1, 1):
-            x = _Conv3D(
-                features=self.features,
-                kernel_size=tuple(self.kernel_size),
-                padding=tuple(padding),
-                dtype=self.dtype,
-                name="conv",
-            )(x)
+            x = conv3d_decomposed(
+                x,
+                kernel,
+                spatial_padding=(tuple(padding)[1], tuple(padding)[2]),
+                depth_padding=tuple(padding)[0],
+            )
         else:
-            x = nn.Conv(
-                features=self.features,
-                kernel_size=tuple(self.kernel_size),
-                strides=tuple(strides),
-                padding=padding,
-                use_bias=False,
-                kernel_init=conv_init,
-                dtype=self.dtype,
-                param_dtype=jnp.float32,
-                name="conv",
-            )(x)
-        if self.use_bn:
+            x = jax.lax.conv_general_dilated(
+                x,
+                kernel,
+                window_strides=tuple(strides),
+                padding=tuple(padding),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")
+                if len(self.kernel_size) == 2
+                else ("NDHWC", "DHWIO", "NDHWC"),
+            )
+        if fold:
+            x = x + b.astype(self.dtype)
+        elif self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,  # torch momentum 0.1

@@ -43,7 +43,7 @@ def scale_dimension(dim: int, scale: float) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def interp_matrix(in_size: int, out_size: int, align_corners: bool, dtype=np.float32) -> np.ndarray:
+def interp_matrix(in_size: int, out_size: int, align_corners: bool, dtype=np.float64) -> np.ndarray:
     """Dense ``(out_size, in_size)`` 1-D linear interpolation matrix.
 
     Row ``o`` holds the two lerp weights for output sample ``o``:

@@ -16,6 +16,8 @@ from leastereo_tpu.data.augment import (
 )
 from leastereo_tpu.data.tools import aggregate_metrics
 
+pytestmark = pytest.mark.quick  # sub-2-minute ops/data tier
+
 
 def _sample(h=20, w=30, rng=None):
     rng = rng or np.random.RandomState(0)
@@ -167,3 +169,49 @@ def test_harvest_midd_eval_logs(tmp_path):
     res = harvest_midd_eval_logs(str(src), str(out_file))
     assert res == {"a1_t1": (1.1, 2.2, 3.3, 4.4)}
     assert out_file.read_text() == "a1_t1 1.1 2.2 3.3 4.4\n"
+
+
+def test_render_new_tagil_previews(tmp_path):
+    """8-bit preview renders (reference dataloaders/new_tagil_render.py):
+    images rescaled to [0, 250], disparity to [30, 250] with NaN -> 0."""
+    from PIL import Image
+
+    from leastereo_tpu.data.tools import render_new_tagil_previews
+
+    src = tmp_path / "ds" / "sample_000"
+    src.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    img = (rng.rand(8, 8) * 4000).astype(np.uint16)
+    Image.fromarray(img).save(src / "img_L.tif")
+    Image.fromarray(img.T.copy()).save(src / "img_R.tif")
+    disp = rng.rand(8, 8).astype(np.float32) * 50
+    disp[0, 0] = np.nan
+    Image.fromarray(disp).save(src / "disp_L_lidar0.tif")
+
+    out = tmp_path / "renders"
+    n = render_new_tagil_previews(str(tmp_path / "ds"), str(out))
+    assert n == 3
+    rl = np.asarray(Image.open(out / "sample_000_render_img_L.png"))
+    assert rl.dtype == np.uint8 and rl.min() == 0 and rl.max() == 250
+    rd = np.asarray(Image.open(out / "sample_000_render_disp_L_lidar0.png"))
+    assert rd[0, 0] == 0  # NaN rendered black
+    assert rd.max() == 250 and rd[rd > 0].min() >= 30
+
+    # List filtering: an empty list renders nothing.
+    lst = tmp_path / "keep.list"
+    lst.write_text("other_sample\n")
+    assert render_new_tagil_previews(str(tmp_path / "ds"), str(out), str(lst)) == 0
+
+
+def test_metric_logger_tensorboard(tmp_path):
+    """--tensorboard writes standard TB event files next to the JSONL."""
+    pytest.importorskip("tensorboardX")
+    from leastereo_tpu.cli.common import MetricLogger
+
+    log = MetricLogger(str(tmp_path), tensorboard=True)
+    log.log(0, loss=1.5, epe=2.0)
+    log.log(1, loss=1.2, epe=1.8)
+    log.close()
+    assert (tmp_path / "metrics.jsonl").exists()
+    events = [p for p in tmp_path.iterdir() if "tfevents" in p.name]
+    assert events and events[0].stat().st_size > 0

@@ -6,6 +6,8 @@ import pytest
 from conftest import requires_torch
 from leastereo_tpu.ops import build_cost_volume, soft_argmin
 
+pytestmark = pytest.mark.quick  # sub-2-minute ops/data tier
+
 
 def _naive_cost_volume(left, right, num_disp):
     """Direct transliteration of reference retrain/LEAStereo.py:36-48 in numpy

@@ -12,6 +12,7 @@ from conftest import REFERENCE, has_reference
 
 from leastereo_tpu.data import test_transform as eval_transform
 from leastereo_tpu.data import (
+
     PAD_DISP_SENTINEL,
     StereoListDataset,
     batch_iterator,
@@ -27,6 +28,8 @@ from leastereo_tpu.data import (
 
 # ---------------------------------------------------------------- PFM ------
 
+
+pytestmark = pytest.mark.quick  # sub-2-minute ops/data tier
 
 def test_pfm_roundtrip(tmp_path):
     rng = np.random.RandomState(0)

@@ -15,6 +15,8 @@ from leastereo_tpu.ops.conv3d import conv3d_decomposed
 from leastereo_tpu.ops.cost_volume import build_cost_volume
 from leastereo_tpu.ops.fused_stem import fused_cost_volume_stem
 
+pytestmark = pytest.mark.quick  # sub-2-minute ops/data tier
+
 
 def _conv3d_ref(x, k):
     return jax.lax.conv_general_dilated(

@@ -48,6 +48,39 @@ def test_disparity_sharded_inference_matches_unsharded():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_disparity_sharded_middlebury_depth():
+    """Same equality at the Middlebury disparity depth (maxdisp 408 -> D=136,
+    an awkward 8*17 depth where only g in {2,4,8} divide — reference
+    predict_md.sh:2-3 / train_md.sh:6). Spatially downscaled; the point is
+    the odd-depth packed layout + disp-axis sharding (136/4 = 34 per shard)."""
+    import jax.numpy as jnp
+
+    from leastereo_tpu.models import LEAStereoConfig, best_sceneflow_model
+    from leastereo_tpu.parallel import make_mesh
+
+    maxdisp, h, w = 408, 48, 72
+    rng = np.random.RandomState(2)
+    left = jnp.asarray(rng.randn(1, h, w, 3), jnp.float32)
+    right = jnp.asarray(rng.randn(1, h, w, 3), jnp.float32)
+
+    base = best_sceneflow_model(LEAStereoConfig(maxdisp=maxdisp, compute_dtype="float32"))
+    variables = base.init(jax.random.PRNGKey(0), left, right)
+    want = np.asarray(jax.jit(lambda l, r: base.apply(variables, l, r))(left, right))
+    assert want.shape == (1, h, w)
+
+    sharded_model = best_sceneflow_model(
+        LEAStereoConfig(
+            maxdisp=maxdisp, compute_dtype="float32", cost_volume_pspec=("data", "disp")
+        )
+    )
+    mesh = make_mesh(data=1, disp=4)
+    with jax.sharding.set_mesh(mesh):
+        got = np.asarray(
+            jax.jit(lambda l, r: sharded_model.apply(variables, l, r))(left, right)
+        )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_data_parallel_train_step_matches_single_device():
     """Same batch, 1-device vs 8-device mesh: loss must agree."""
     import jax.numpy as jnp

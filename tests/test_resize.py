@@ -11,6 +11,8 @@ import pytest
 from conftest import requires_torch
 from leastereo_tpu.ops import resize2d, resize3d, scale_dimension
 
+pytestmark = pytest.mark.quick  # sub-2-minute ops/data tier
+
 
 def _rand(*shape):
     rng = np.random.RandomState(sum(shape))

@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 from leastereo_tpu.utils import (
+
     EarlyStopping,
     ExperimentSaver,
     colorize_disparity,
@@ -18,6 +19,8 @@ from leastereo_tpu.utils import (
     turbo_colormap,
 )
 
+
+pytestmark = pytest.mark.quick  # sub-2-minute ops/data tier
 
 def test_checkpoint_roundtrip(tmp_path):
     tree = {
