@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.cost_volume import build_cost_volume
+from ..ops.packed3d import choose_pack
+from ..ops.pallas_head import conv_soft_argmin_fused, fused_head_supported
 from ..ops.pallas_softargmin import pallas_supported, soft_argmin_fused
 from ..ops.softargmin import disparity_entropy, soft_argmin, soft_argmin_fast
 from .feature_net import FeatureNet
@@ -101,6 +103,27 @@ class LEAStereo(nn.Module):
                 )
 
         matching_cls = PackedMatchingNet if cfg.packed_matching else MatchingNet
+        extra = {}
+        if cfg.packed_matching:
+            # Fused Pallas head (ops/pallas_head.py): the final 1-channel conv
+            # + soft-argmin in one kernel off the packed volume — the
+            # (B, D, h, w) cost never exists in HBM. Eval/serving only (the
+            # training path keeps the differentiable XLA chain) and only when
+            # the shape/backend qualify.
+            d3, h3, w3 = cfg.maxdisp // 3, left.shape[1] // 3, left.shape[2] // 3
+            ifm = cfg.mat_filter_multiplier * cfg.mat_block_multiplier
+            g = choose_pack(d3, ifm)
+            if (
+                cfg.pallas_head
+                and not train
+                and not cfg.fast_head
+                and not cfg.return_entropy
+                and cfg.cost_volume_pspec is None
+                and fused_head_supported(left.shape[0], d3, h3, w3, ifm, g)
+            ):
+                extra["head_fn"] = lambda p, k: conv_soft_argmin_fused(
+                    p.data, k, p.g, p.channels, cfg.maxdisp
+                )
         mat = matching_cls(
             genotype=self.matching_arch,
             filter_multiplier=cfg.mat_filter_multiplier,
@@ -109,7 +132,10 @@ class LEAStereo(nn.Module):
             dtype=dtype,
             volume_pspec=cfg.cost_volume_pspec,
             name="matching",
+            **extra,
         )(cost, train=train)
+        if extra.get("head_fn") is not None:
+            return mat  # already the (B, 3h, 3w) disparity map
 
         if cfg.fast_head:
             disp = soft_argmin_fast(mat, cfg.maxdisp)

@@ -13,7 +13,7 @@ against ~0.15 ms of useful FLOPs — pure lane-padding bandwidth.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Callable, Sequence
 
 import flax.linen as nn
 import jax
@@ -156,9 +156,20 @@ class PackedFusedStem0(nn.Module):
         fold = not train
         if fold:
             # The whole assembly is linear in the kernel, so the eval BN
-            # scale folds into it exactly; bias+relu ride the volume write.
+            # scale folds into it exactly; bias+relu ride the per-tile
+            # assembly epilogue inside the fused stem (a separate full-volume
+            # pass cost ~0.9 ms at the KITTI shape — trace fusion.71).
             w_c, b_c = bn(None, fold=True)
-            kernel = kernel * w_c
+            out = fused_cost_volume_stem(
+                left.astype(self.dtype),
+                right.astype(self.dtype),
+                (kernel * w_c).astype(self.dtype),
+                num_disp,
+                pack_g=self.pack_g,
+                bias=b_c,
+                relu=True,
+            )
+            return Packed(out, g=self.pack_g, channels=self.features)
         out = fused_cost_volume_stem(
             left.astype(self.dtype),
             right.astype(self.dtype),
@@ -166,11 +177,7 @@ class PackedFusedStem0(nn.Module):
             num_disp,
             pack_g=self.pack_g,
         )
-        p = Packed(out, g=self.pack_g, channels=self.features)
-        if fold:
-            b_l = jnp.tile(b_c.astype(self.dtype), p.g)
-            return Packed(nn.relu(p.data + b_l), g=p.g, channels=p.channels)
-        p = bn(p, train=train)
+        p = bn(Packed(out, g=self.pack_g, channels=self.features), train=train)
         return Packed(nn.relu(p.data), g=p.g, channels=p.channels)
 
 
@@ -269,6 +276,12 @@ class PackedMatchingNet(nn.Module):
     # model's layers — no replica drift (the failure mode of the retired
     # profile_matching_trunc.py). None = normal full forward.
     profile_stop: str | None = None
+    # Fused-head hook: when set, called as ``head_fn(last: Packed, kernel)``
+    # with the pre-head packed volume and the ``last_3/conv/kernel`` param
+    # (created either way, so the parameter tree is identical) and its result
+    # is returned INSTEAD of the last_3 conv + unpack. LEAStereo uses this to
+    # run the Pallas conv+soft-argmin head (ops/pallas_head.py) in one kernel.
+    head_fn: Callable | None = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> jnp.ndarray:
@@ -343,7 +356,23 @@ class PackedMatchingNet(nn.Module):
             last = resize_packed(last, (d, h, w), choose_pack(d, ifm))
             if self.profile_stop == "last_6":
                 return last.data
+        if self.head_fn is not None:
+            kernel = _HeadKernel((3, 3, 3, last.channels, 1), name="last_3")()
+            if not last.is_canonical():
+                last = repack(last, last.g)
+            return self.head_fn(last, kernel.astype(self.dtype))
         mat = PackedConvBR(1, (3, 3, 3), use_bn=False, use_relu=False, name="last_3", **kw)(
             last, train=train
         )
         return unpack(mat)
+
+
+class _HeadKernel(nn.Module):
+    """Bare ``conv/kernel`` param holder named ``last_3`` — reproduces the
+    exact ``last_3/conv/kernel`` path of the ConvBR head it substitutes."""
+
+    shape: tuple[int, ...]
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return _KernelParam(self.shape, name="conv")()

@@ -52,6 +52,7 @@ __all__ = [
     "repack",
     "choose_pack",
     "conv3x3_packed",
+    "conv3x3_packed_collapse",
     "conv1x1_packed",
     "resize_packed",
 ]
@@ -200,6 +201,10 @@ def choose_pack(depth: int, channels: int, max_lanes: int = 512) -> int:
     is never chosen when any g >= 2 divides: the banded conv's halo concat
     reads ``(g+2)/g`` x the input, which is worst (3x) at g = 1 — measured
     slower than g = 2 even for lane-full C = 128 operands."""
+    # A 256-lane target looks better for the banded conv in isolation (halo
+    # amplification (g+2)/g: 1.36 -> 1.07 ms on the stem shape) but loses
+    # end-to-end: the resize operators, repack boundaries and the fused head
+    # all get slower at g=8 (bench 16.2 -> 14.4 fps). Keep 128.
     divisors = [g for g in (2, 4, 8, 16) if depth % g == 0 and g * channels <= max_lanes]
     full = [g for g in divisors if g * channels >= 128]
     if full:
@@ -313,6 +318,72 @@ def conv3x3_packed(p: Packed, kernel: jnp.ndarray) -> Packed:
     return Packed(y.reshape(b, dg, h, w, g * cout), g=g, channels=cout)
 
 
+def conv3x3_packed_collapse(p: Packed, kernel: jnp.ndarray) -> jnp.ndarray:
+    """3x3x3 stride-1 pad-1 conv with Cout == 1, emitting ``(B, D, H, W)``.
+
+    The matching head's final convolution (reference
+    ``retrain/skip_model_3d.py:174`` ``self.conv_out``) has a single output
+    channel, so the banded form (:func:`conv3x3_packed`) would emit a
+    ``G``-lane tensor — 128/G-times lane-padded — and the subsequent
+    :func:`unpack` transposes a 1-channel NDHWC volume; together measured
+    13.6 ms of the 56 ms KITTI forward (PROFILE_r04.json). Instead: transpose
+    the packed volume once to spatial-major ``(B, H, W, D*C)`` (for a
+    canonical map the flattened lane axis IS ``(d, c)``), then contract the
+    entire depth axis in one 3x3 2-D convolution against a ``(3, 3, D*C, D)``
+    band matrix ``M[(d_in, c), d_out] = K[d_in - d_out + 1, kh, kw, c]``
+    (zero off the +-1 depth band). The output lands ``(B, H, W, D)`` with
+    depth on lanes and is transposed to the head's ``(B, D, H, W)``; no
+    narrow-lane tensor ever exists. The dense band matrix wastes D/3 of the
+    MACs, but on lane-full MXU tiles that is still ~7x faster than the
+    lane-starved exact form.
+    """
+    kd_, kh_, kw_, cin, cout = kernel.shape
+    assert (kd_, kh_, kw_) == (3, 3, 3) and cout == 1 and cin == p.channels, (
+        kernel.shape,
+        p.channels,
+    )
+    b, dg, h, w, li = p.data.shape
+    d, c = p.depth, p.channels
+    x = p.data
+    if not p.is_canonical():
+        x = take_lanes(x, _canonical_order(p), axis=-1)
+    x = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(b, h, w, d * c)
+    # Force a PHYSICAL relayout: without the 1-D round trip, layout assignment
+    # turns the transpose into a bitcast (T(2,128)-tiled {3,0,2,1} buffer) and
+    # the conv reads physically-scattered data at ~30 GB/s. A rank-1 buffer
+    # admits only the trivial layout, so the copy really happens and the conv
+    # sees a standard T(8,128) operand. optimization_barrier alone does NOT
+    # stop layout propagation.
+    x = jax.lax.optimization_barrier(x.reshape(-1)).reshape(b, h, w, d * c)
+    # M_kd[(d_in, c), d_out] = kernel[kd, kh, kw, c, 0] iff d_in == d_out + kd - 1.
+    m = None
+    for kd in range(3):
+        band = jnp.asarray(np.eye(d, k=1 - kd, dtype=np.float32), kernel.dtype)
+        term = band[None, None, :, None, :] * kernel[kd, :, :, None, :, 0, None]
+        m = term if m is None else m + term  # (3, 3, d, C, d)
+    # Materialise the band matrix BEFORE the conv: without the barrier XLA
+    # fuses the (3, 3, D*C, D) construction into the convolution as an operand
+    # fusion and recomputes it per output tile — measured 7.0 ms at 30 GB/s
+    # for the conv (trace_forward fusion.2324) vs 0.64 ms with the operand
+    # materialised. The matrix itself is 2.4 MB; building it costs ~nothing.
+    m = jax.lax.optimization_barrier(m.reshape(3, 3, d * c, d))
+    y = jax.lax.conv_general_dilated(
+        x,
+        m,
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    # ... and isolate the conv OUTPUT from its consumers: the downstream
+    # (B, D, H, W) head transpose otherwise folds into the conv's dim_labels
+    # and layout assignment picks a transposed T(2,128)-tiled output (seen as
+    # convolution.1157 bf01/T(2,128) in the HLO dump), again ~10x slow. With
+    # both barriers the conv runs b01f with default tiling; the transpose is
+    # an explicit ~14 MB copy.
+    y = jax.lax.optimization_barrier(y)
+    return jnp.transpose(y, (0, 3, 1, 2))
+
+
 def conv1x1_packed(p: Packed, kernel: jnp.ndarray) -> Packed:
     """1x1x1 conv: block-diagonal lane matmul. ``kernel``: ``(Cin, Cout)``."""
     cin, cout = kernel.shape
@@ -403,12 +474,16 @@ def resize_packed(
         pos = ids.index(name)
         dims = (pos,) if rhs_contract is None else (pos, ids.index("g"))
         rdims = (1,) if rhs_contract is None else rhs_contract
+        # fp32-accurate: cast operands to f32 with DEFAULT precision rather
+        # than HIGHEST on bf16 — same f32 math, but HIGHEST drives XLA's TPU
+        # dot lowering into a giant-window convolution emitter measured 2-9x
+        # off the bandwidth roofline in-model (trace_forward fusion.51); the
+        # converts fuse into the dot's operand reads.
         y = jax.lax.dot_general(
-            x,
-            jnp.asarray(mat, x.dtype),
+            x.astype(jnp.float32),
+            jnp.asarray(mat, jnp.float32),
             dimension_numbers=((dims, rdims), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        ).astype(x.dtype)
         ids = [n for i, n in enumerate(ids) if i not in dims] + [name]
         return y, ids
 
@@ -424,12 +499,12 @@ def resize_packed(
         # factored form + narrow-minor transpose when the output is small.
         q = _depth_mix_operator(d_in, p.g, d_out, g_out, p.channels, p.map(), align_corners)
         dg_pos, l_pos = ids.index("dg"), ids.index("l")
+        dtype = x.dtype
         x = jax.lax.dot_general(
-            x,
-            jnp.asarray(q.reshape(q.shape[0], q.shape[1], -1), x.dtype),
+            x.astype(jnp.float32),
+            jnp.asarray(q.reshape(q.shape[0], q.shape[1], -1), jnp.float32),
             dimension_numbers=(((dg_pos, l_pos), (0, 1)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        )  # free axes + joint (Dg_out * L_out)
+        ).astype(dtype)  # free axes + joint (Dg_out * L_out)
         shape = list(x.shape)
         shape[-1:] = [d_out // g_out, g_out * p.channels]
         x = x.reshape(shape)

@@ -53,6 +53,21 @@ def test_conv3x3_packed_matches_conv3d(rng):
         np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
+def test_conv3x3_packed_collapse_matches_conv3d(rng):
+    from leastereo_tpu.ops.packed3d import conv3x3_packed_collapse
+
+    x = jnp.asarray(rng.randn(2, 8, 6, 10, 5), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 3, 5, 1) * 0.3, jnp.float32)
+    ref = conv3d_decomposed(x, k, ((1, 1), (1, 1)), (1, 1))[..., 0]
+    for g in (1, 2, 4, 8):
+        got = conv3x3_packed_collapse(pack(x, g), k)
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+    # Non-canonical input (lane concat) must canonicalise first.
+    pa, pb = pack(x[..., :2], 4), pack(x[..., 2:], 4)
+    got = conv3x3_packed_collapse(concat_lanes([pa, pb]), k)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
 def test_conv1x1_packed(rng):
     x = jnp.asarray(rng.randn(2, 8, 6, 10, 5), jnp.float32)
     k = jnp.asarray(rng.randn(5, 3), jnp.float32)
