@@ -467,6 +467,12 @@ def resize_packed(
         return repack(p, g_out)  # pure layout change, no interpolation
     x = p.data
 
+    # (Tried and rejected: ops.resize.apply_interp_axis — 2-tap strided-slice
+    # arithmetic with axes in place. Exact same math, but end-to-end it LOST
+    # 2.8 fps: the per-phase strided reads + interleave defeat XLA fusion
+    # worse than the dot lowering it was meant to replace. The interp dots
+    # stay, in f32/DEFAULT form.)
+
     # Logical axis names at each physical position.
     ids = ["b", "dg", "h", "w", "l"]
 
