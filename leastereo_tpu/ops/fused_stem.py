@@ -168,8 +168,18 @@ def fused_cost_volume_stem(
     if pack_g is None:
         res = out + jnp.stack(r_slices, axis=1)
         return epilogue(res, None if bias is None else bias.astype(left.dtype))
-    # Per-tile epilogue: the bias/relu fuse into each tile's group assembly
-    # instead of a separate full-volume pass after the stack.
+    if bias is None and not relu:
+        # No epilogue (train mode): keep the single stack+add form — the
+        # per-tile slicing below costs ~29 ms/step of slice_add fusions in
+        # the BACKWARD pass (gradient scatter through the per-tile slices,
+        # trace_train slice_add_fusion @59 GB/s).
+        grouped = [
+            jnp.concatenate(r_slices[t * pack_g : (t + 1) * pack_g], axis=-1)
+            for t in range(num_disp // pack_g)
+        ]
+        return out + jnp.stack(grouped, axis=1)
+    # Eval: per-tile epilogue — the bias/relu fuse into each tile's group
+    # assembly instead of a separate full-volume pass after the stack.
     lane_bias = None if bias is None else jnp.tile(bias, pack_g).astype(left.dtype)
     grouped = [
         epilogue(
