@@ -16,9 +16,14 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+import logging
+
 from ..ops.cost_volume import build_cost_volume
 from ..ops.packed3d import choose_pack
-from ..ops.pallas_head import conv_soft_argmin_fused, fused_head_supported
+from ..ops.pallas_head import conv_soft_argmin_fused, fused_head_gate_reason
+
+logger = logging.getLogger(__name__)
+_gate_warned: set = set()
 from ..ops.pallas_softargmin import pallas_supported, soft_argmin_fused
 from ..ops.softargmin import disparity_entropy, soft_argmin, soft_argmin_fast
 from .feature_net import FeatureNet
@@ -119,11 +124,33 @@ class LEAStereo(nn.Module):
                 and not cfg.fast_head
                 and not cfg.return_entropy
                 and cfg.cost_volume_pspec is None
-                and fused_head_supported(left.shape[0], d3, h3, w3, ifm, g)
             ):
-                extra["head_fn"] = lambda p, k: conv_soft_argmin_fused(
-                    p.data, k, p.g, p.channels, cfg.maxdisp
+                reason = fused_head_gate_reason(
+                    left.shape[0], d3, h3, w3, ifm, g, dtype.itemsize
                 )
+                if reason is None:
+
+                    def head_fn(p, k):
+                        # The gate above evaluated the pre-head shape it
+                        # EXPECTS; assert the packed volume that actually
+                        # reaches the head matches, so gate and kernel can
+                        # never disagree (e.g. an architecture whose final
+                        # level packs differently).
+                        assert (p.g, p.channels, p.size) == (g, ifm, (d3, h3, w3)), (
+                            (p.g, p.channels, p.size),
+                            (g, ifm, (d3, h3, w3)),
+                        )
+                        return conv_soft_argmin_fused(
+                            p.data, k, p.g, p.channels, cfg.maxdisp
+                        )
+
+                    extra["head_fn"] = head_fn
+                elif reason not in _gate_warned:
+                    # Trace-time (static shapes), warn once per reason: the
+                    # XLA fallback head is ~2x slower — a silent drop here
+                    # reads as a mysterious serving regression.
+                    _gate_warned.add(reason)
+                    logger.warning("fused Pallas head disabled: %s", reason)
         mat = matching_cls(
             genotype=self.matching_arch,
             filter_multiplier=cfg.mat_filter_multiplier,

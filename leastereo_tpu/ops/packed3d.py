@@ -467,11 +467,11 @@ def resize_packed(
         return repack(p, g_out)  # pure layout change, no interpolation
     x = p.data
 
-    # (Tried and rejected: ops.resize.apply_interp_axis — 2-tap strided-slice
+    # (Tried and rejected: an apply_interp_axis helper — 2-tap strided-slice
     # arithmetic with axes in place. Exact same math, but end-to-end it LOST
     # 2.8 fps: the per-phase strided reads + interleave defeat XLA fusion
     # worse than the dot lowering it was meant to replace. The interp dots
-    # stay, in f32/DEFAULT form.)
+    # stay in matmul form; the helper was removed in r5 — see git history.)
 
     # Logical axis names at each physical position.
     ids = ["b", "dg", "h", "w", "l"]
@@ -480,11 +480,14 @@ def resize_packed(
         pos = ids.index(name)
         dims = (pos,) if rhs_contract is None else (pos, ids.index("g"))
         rdims = (1,) if rhs_contract is None else rhs_contract
-        # fp32-accurate: cast operands to f32 with DEFAULT precision rather
-        # than HIGHEST on bf16 — same f32 math, but HIGHEST drives XLA's TPU
-        # dot lowering into a giant-window convolution emitter measured 2-9x
-        # off the bandwidth roofline in-model (trace_forward fusion.51); the
-        # converts fuse into the dot's operand reads.
+        # f32 operands + DEFAULT precision: on the TPU MXU, DEFAULT truncates
+        # the f32 operands to bf16 and accumulates in f32 — i.e. effective
+        # bf16-operand / f32-accumulate math (matching the model's bf16
+        # activations; an exact-f32 caller would need HIGHEST). HIGHEST was
+        # rejected: it drives XLA's TPU dot lowering into a giant-window
+        # convolution emitter measured 2-9x off the bandwidth roofline
+        # in-model (trace_forward fusion.51); the converts fuse into the
+        # dot's operand reads.
         y = jax.lax.dot_general(
             x.astype(jnp.float32),
             jnp.asarray(mat, jnp.float32),

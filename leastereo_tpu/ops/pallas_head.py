@@ -43,34 +43,57 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["conv_soft_argmin_fused", "conv_soft_argmin_pallas", "fused_head_supported"]
+__all__ = [
+    "conv_soft_argmin_fused",
+    "conv_soft_argmin_pallas",
+    "fused_head_supported",
+    "fused_head_gate_reason",
+]
 
 _TH = 8  # H rows per grid program (output band height)
 
 
-def _band_bytes(d: int, w: int, channels: int, itemsize: int = 2) -> int:
+def _band_bytes(d: int, w: int, channels: int, itemsize: int) -> int:
     """VMEM bytes of one full-width input halo band."""
     return (_TH + 4) * (w + 16) * d * channels * itemsize
 
 
-def fused_head_supported(b: int, d: int, h: int, w: int, channels: int, g: int) -> bool:
+def fused_head_gate_reason(
+    b: int, d: int, h: int, w: int, channels: int, g: int, itemsize: int = 2
+) -> str | None:
+    """``None`` when the fused head kernel handles this packed cost shape;
+    otherwise a human-readable reason for falling back to the XLA head
+    (~2x slower at the KITTI shape — worth a log line, see cli/predict.py)."""
+    if d % g != 0:
+        return f"depth {d} not divisible by packing g={g}"
+    if g * channels % 128 != 0:
+        return f"lanes g*C={g * channels} not a multiple of 128 (lane-block DMA)"
+    if d > 128:
+        return f"maxdisp/3={d} > 128 lanes (disparity must fit on lanes)"
+    if h % _TH != 0:
+        return f"1/3-res height {h} not a multiple of {_TH}"
+    if w % 8 != 0:
+        return f"1/3-res width {w} not a multiple of 8 (MXU window alignment)"
+    if 2 * _band_bytes(d, w, channels, itemsize) > 56 * 1024 * 1024:
+        return f"halo bands need {2 * _band_bytes(d, w, channels, itemsize) >> 20} MB VMEM > 56 MB"
+    if jax.default_backend() != "tpu":
+        return f"backend is {jax.default_backend()!r}, kernel is TPU-only"
+    if jax.device_count() != 1:
+        return f"{jax.device_count()} devices (kernel is single-device; sharded paths use jnp)"
+    return None
+
+
+def fused_head_supported(
+    b: int, d: int, h: int, w: int, channels: int, g: int, itemsize: int = 2
+) -> bool:
     """True when the fused head kernel handles this packed cost shape."""
-    return (
-        d % g == 0
-        and g * channels % 128 == 0  # one lane-block DMA per depth tile
-        and d <= 128  # disparity lives on lanes in the cost band
-        and h % _TH == 0
-        and w % 8 == 0  # aligned MXU windows (see _head_kernel)
-        and 2 * _band_bytes(d, w, channels) <= 56 * 1024 * 1024
-        and jax.default_backend() == "tpu"
-        and jax.device_count() == 1
-    )
+    return fused_head_gate_reason(b, d, h, w, channels, g, itemsize) is None
 
 
 def _head_kernel(x_hbm, m_ref, out_ref, band, shifted, sems, *, t_tiles, th, tw, d, hh, ww, l):
     b = pl.program_id(0)
     i = pl.program_id(1)
-    cw = tw + 8  # sublane-aligned conv width (tw % 8 == 0 by support gate)
+    conv_w = tw + 8  # sublane-aligned conv width (tw % 8 == 0 by support gate)
 
     for t in range(t_tiles):
         pltpu.make_async_copy(
@@ -95,17 +118,17 @@ def _head_kernel(x_hbm, m_ref, out_ref, band, shifted, sems, *, t_tiles, th, tw,
     # runs on an aligned (*, cw, D*C) window: the kw = 2 tap reads the band at
     # sublane offset 8 directly, the kw = 0/1 taps go through one aligned
     # VPU copy each, and the ragged (tw+2)-wide cost is sliced out afterwards.
-    acc = jnp.zeros((th + 2, cw, d), jnp.float32)
+    acc = jnp.zeros((th + 2, conv_w, d), jnp.float32)
     for kw in range(3):
         if kw == 2:
             src = band
             off = 8
         else:
-            shifted[:, :, :] = band[:, 6 + kw : 6 + kw + cw, :]
+            shifted[:, :, :] = band[:, 6 + kw : 6 + kw + conv_w, :]
             src = shifted
             off = 0
         for kh in range(3):
-            xs = src[kh : kh + th + 2, off : off + cw, :]
+            xs = src[kh : kh + th + 2, off : off + conv_w, :]
             acc = acc + jax.lax.dot_general(
                 xs,
                 m_ref[kh, kw],

@@ -25,7 +25,6 @@ import numpy as np
 __all__ = [
     "scale_dimension",
     "interp_matrix",
-    "apply_interp_axis",
     "resize2d",
     "resize3d",
     "upsample2x_2d",
@@ -72,104 +71,6 @@ def interp_matrix(in_size: int, out_size: int, align_corners: bool, dtype=np.flo
     m[np.arange(out_size), lo] += w_lo
     m[np.arange(out_size), hi] += w_hi
     return m.astype(dtype)
-
-
-@functools.lru_cache(maxsize=None)
-def _interp_plan(in_size: int, out_size: int, align_corners: bool):
-    """Slice plan for a 1-D linear interp: phases + constant-stride runs.
-
-    Every linear resize row has <= 2 taps at (lo, lo+1). Decompose the output
-    index space into ``P`` phase classes (P = ceil(in/out) rounded to cover
-    upsampling, 1 for downsampling) and, within each phase, into maximal runs
-    where ``lo`` advances by a constant stride — each run is then ONE strided
-    slice pair + per-index weights, all elementwise. Returns
-    ``(P, [[(start, count, lo0, stride), ...] per phase], w0, w1)`` or None
-    when the plan is degenerate (fall back to the matmul path).
-    """
-    if in_size == out_size or out_size < 2 or in_size < 2:
-        return None
-    m = interp_matrix(in_size, out_size, align_corners)
-    idx = np.arange(out_size)
-    lo = np.argmax(m > 0, axis=1)
-    lo = np.minimum(lo, in_size - 2)
-    w0 = m[idx, lo]
-    w1 = m[idx, lo + 1]
-    p = max(1, -(-out_size // in_size))
-    if out_size % p:
-        return None
-    plans = []
-    total_runs = 0
-    for ph in range(p):
-        js = idx[ph::p]
-        runs = []
-        k = 0
-        while k < len(js):
-            if k + 1 < len(js):
-                stride = int(lo[js[k + 1]] - lo[js[k]])
-            else:
-                stride = 1
-            z = k + 1
-            while z < len(js) and int(lo[js[z]] - lo[js[z - 1]]) == stride:
-                z += 1
-            if stride < 1:
-                # stride-0 (repeated source) only valid as a length-limited
-                # run; represent as stride 1 of length 1 chunks if isolated.
-                if z - k > 2:
-                    return None
-                for kk in range(k, z):
-                    runs.append((int(js[kk]), 1, int(lo[js[kk]]), 1))
-                k = z
-                continue
-            runs.append((int(js[k]), z - k, int(lo[js[k]]), stride))
-            k = z
-        total_runs += len(runs)
-        plans.append(runs)
-    if total_runs > 24:
-        return None
-    return p, plans, w0, w1
-
-
-def apply_interp_axis(
-    x: jnp.ndarray, axis: int, out_size: int, align_corners: bool
-) -> jnp.ndarray:
-    """Linear interp along ``axis`` as 2-tap strided-slice arithmetic.
-
-    Identical taps/weights to the :func:`interp_matrix` contraction (weights
-    applied in fp32), but expressed as elementwise ops on slices so the axis
-    stays in place: no dot_general, no transpose, no giant-window TPU conv
-    lowering (the matmul form of the cell-preprocess downsample measured
-    3.1 ms at 136 GB/s for a 218 MB read — 9x off the bandwidth roofline).
-    Falls back to the matmul path (returns None) only for ratios whose slice
-    plan would fragment; callers must handle ``None``.
-    """
-    in_size = x.shape[axis]
-    plan = _interp_plan(in_size, out_size, align_corners)
-    if plan is None:
-        return None
-    p, plans, w0, w1 = plan
-
-    def wb(vals):
-        sh = [1] * x.ndim
-        sh[axis] = len(vals)
-        return jnp.asarray(vals, jnp.float32).reshape(sh)
-
-    phase_parts = []
-    for runs in plans:
-        parts = []
-        for start, count, lo0, stride in runs:
-            hi_stop = lo0 + 1 + (count - 1) * stride + 1
-            x0 = jax.lax.slice_in_dim(x, lo0, hi_stop - 1, stride=stride, axis=axis)
-            x1 = jax.lax.slice_in_dim(x, lo0 + 1, hi_stop, stride=stride, axis=axis)
-            jsel = [start + p * k for k in range(count)]
-            y = x0.astype(jnp.float32) * wb(w0[jsel]) + x1.astype(jnp.float32) * wb(w1[jsel])
-            parts.append(y.astype(x.dtype))
-        phase_parts.append(parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=axis))
-    if p == 1:
-        return phase_parts[0]
-    out = jnp.stack(phase_parts, axis=axis + 1)  # (..., out/P, P, ...)
-    sh = list(x.shape)
-    sh[axis] = out_size
-    return out.reshape(sh)
 
 
 def _resize_axes(x: jnp.ndarray, axes: tuple[int, ...], out_sizes: tuple[int, ...], align_corners: bool) -> jnp.ndarray:

@@ -13,7 +13,14 @@ from typing import Any
 import jax
 import numpy as np
 
-__all__ = ["count_params", "param_size_mb", "cost_analysis", "model_flops"]
+__all__ = [
+    "count_params",
+    "param_size_mb",
+    "cost_analysis",
+    "model_flops",
+    "peak_hbm_gb",
+    "device_peak_hbm_gb",
+]
 
 
 def count_params(params: Any) -> int:
@@ -40,3 +47,36 @@ def cost_analysis(fn, *args, **kwargs) -> dict:
 def model_flops(fn, *args, **kwargs) -> float:
     """Total FLOPs of one jitted call (multiply-adds count as 2)."""
     return float(cost_analysis(fn, *args, **kwargs).get("flops", float("nan")))
+
+
+def peak_hbm_gb(compiled) -> float | None:
+    """Peak HBM of a compiled computation, in GB: arguments + outputs +
+    XLA's temp/generated allocations (``memory_analysis()``). This is the
+    static compiler bound — the right number on platforms where
+    ``device.memory_stats()`` is unavailable (e.g. tunneled devices, whose
+    runtime stats stay on the far side)."""
+    try:
+        m = compiled.memory_analysis()
+    except Exception:
+        return None
+    if m is None:
+        return None
+    total = (
+        m.argument_size_in_bytes
+        + m.output_size_in_bytes
+        - m.alias_size_in_bytes
+        + m.temp_size_in_bytes
+        + m.generated_code_size_in_bytes
+    )
+    return round(total / 1e9, 3)
+
+
+def device_peak_hbm_gb() -> float | None:
+    """Runtime peak HBM from ``device.memory_stats()`` when the platform
+    exposes it (returns None behind the axon tunnel)."""
+    dev = jax.local_devices()[0]
+    stats = getattr(dev, "memory_stats", lambda: None)()
+    if not stats:
+        return None
+    peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
+    return round(peak / 1e9, 3) if peak else None

@@ -40,7 +40,7 @@ def main():
     leastereo_tpu.setup_compilation_cache()
 
     from leastereo_tpu.models import LEAStereoConfig, best_sceneflow_model
-    from leastereo_tpu.utils.tracing import device_memory_stats
+    from leastereo_tpu.utils.profiling import device_peak_hbm_gb, peak_hbm_gb
 
     h, w, maxdisp = args.height, args.width, args.maxdisp
     cfg = LEAStereoConfig(maxdisp=maxdisp, compute_dtype="bfloat16")
@@ -59,18 +59,19 @@ def main():
 
     print("compiling forward...", flush=True)
     t0 = time.perf_counter()
-    out = forward(left, right)
-    out.block_until_ready()
+    compiled = forward.lower(left, right).compile()
     t_compile = time.perf_counter() - t0
-    print(f"compile+first run: {t_compile:.1f}s out={out.shape}", flush=True)
-    forward(left, right).block_until_ready()
+    hbm = peak_hbm_gb(compiled)
+    out = compiled(left, right)
+    out.block_until_ready()
+    print(f"compile: {t_compile:.1f}s out={out.shape} peak_hbm={hbm} GB", flush=True)
+    compiled(left, right).block_until_ready()
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        out = forward(left, right)
+        out = compiled(left, right)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / args.iters
-    mem = device_memory_stats()
     result = {
         "config": {
             "frame": [h, w],
@@ -80,7 +81,11 @@ def main():
         "device": str(jax.devices()[0]),
         "frame_ms": round(dt * 1e3, 1),
         "frames_per_s": round(1.0 / dt, 3),
-        "peak_hbm_gb": round(mem.get("peak_bytes_in_use", 0) / 2**30, 3) if mem else None,
+        # Static compiled-program peak (args+outputs+temps); runtime
+        # device_memory_stats() is unavailable behind the tunnel.
+        "peak_hbm_gb": device_peak_hbm_gb() or hbm,
+        # Against a warm persistent compilation cache (setup_compilation_cache)
+        # this is the amortized serving cost; cold-cache cost is the r04 number.
         "compile_s": round(t_compile, 1),
     }
     out_path = pathlib.Path(__file__).resolve().parent.parent / args.out

@@ -51,7 +51,7 @@ def main():
         make_weight_tx,
     )
     from leastereo_tpu.search.supernet import AutoStereoSupernet, SupernetConfig
-    from leastereo_tpu.utils.tracing import device_memory_stats
+    from leastereo_tpu.utils.profiling import device_peak_hbm_gb, peak_hbm_gb
 
     remat = not args.no_remat
     model = AutoStereoSupernet(
@@ -87,10 +87,17 @@ def main():
 
     print("compiling weight step...", flush=True)
     t0 = time.perf_counter()
+    compiled_w = weight_step.lower(state, batch).compile()
+    t_compile_w = time.perf_counter() - t0
+    hbm_w = peak_hbm_gb(compiled_w)
+    weight_step = compiled_w
     state, m = weight_step(state, batch)
     jax.block_until_ready(m)
-    t_compile_w = time.perf_counter() - t0
-    print(f"weight step compile+run: {t_compile_w:.1f}s loss={float(m['loss']):.4f}", flush=True)
+    print(
+        f"weight step compile: {t_compile_w:.1f}s loss={float(m['loss']):.4f} "
+        f"peak_hbm={hbm_w} GB",
+        flush=True,
+    )
 
     print("compiling arch step...", flush=True)
     t0 = time.perf_counter()
@@ -116,7 +123,6 @@ def main():
             flush=True,
         )
 
-    mem = device_memory_stats()
     result = {
         "config": {
             "crop": [h, w],
@@ -132,7 +138,9 @@ def main():
         "weight_step_ms": round(float(np.median(times_w)) * 1e3, 1),
         "arch_step_ms": round(float(np.median(times_a)) * 1e3, 1),
         "losses": [round(x, 4) for x in losses],
-        "peak_hbm_gb": round(mem.get("peak_bytes_in_use", 0) / 2**30, 3) if mem else None,
+        # Static compiled-program peak of the weight step (args+outputs+temps);
+        # runtime device_memory_stats() is unavailable behind the tunnel.
+        "peak_hbm_gb": device_peak_hbm_gb() or hbm_w,
         "compile_s": {"weight": round(t_compile_w, 1), "arch": round(t_compile_a, 1)},
     }
     out = pathlib.Path(__file__).resolve().parent.parent / args.out

@@ -41,7 +41,7 @@ def main():
 
     from leastereo_tpu.models import LEAStereoConfig, best_sceneflow_model
     from leastereo_tpu.train.step import TrainState, make_optimizer, make_train_step
-    from leastereo_tpu.utils.tracing import device_memory_stats
+    from leastereo_tpu.utils.profiling import device_peak_hbm_gb, peak_hbm_gb
 
     cfg = LEAStereoConfig(maxdisp=args.maxdisp, compute_dtype="bfloat16")
     model = best_sceneflow_model(cfg)
@@ -65,10 +65,16 @@ def main():
 
     print("compiling train step...", flush=True)
     t0 = time.perf_counter()
+    compiled = step.lower(state, batch).compile()
+    t_compile = time.perf_counter() - t0
+    hbm = peak_hbm_gb(compiled)
+    step = compiled
     state, m = step(state, batch)
     jax.block_until_ready(m)
-    t_compile = time.perf_counter() - t0
-    print(f"compile+first step: {t_compile:.1f}s loss={float(m['loss']):.4f}", flush=True)
+    print(
+        f"compile: {t_compile:.1f}s loss={float(m['loss']):.4f} peak_hbm={hbm} GB",
+        flush=True,
+    )
     state, m = step(state, batch)  # settle
     jax.block_until_ready(m)
 
@@ -81,7 +87,6 @@ def main():
         print(f"step {i}: {times[-1]*1e3:.1f} ms loss={float(m['loss']):.4f}", flush=True)
 
     step_s = float(np.median(times))
-    mem = device_memory_stats()
     result = {
         "config": {
             "crop": [h, w],
@@ -94,7 +99,9 @@ def main():
         "train_step_ms": round(step_s * 1e3, 1),
         "steps_per_s": round(1.0 / step_s, 3),
         "train_frames_per_s": round(b / step_s, 2),
-        "peak_hbm_gb": round(mem.get("peak_bytes_in_use", 0) / 2**30, 3) if mem else None,
+        # Static compiled-program peak (args+outputs+temps); runtime
+        # device_memory_stats() is unavailable behind the tunnel.
+        "peak_hbm_gb": device_peak_hbm_gb() or peak_hbm_gb(compiled),
         "compile_s": round(t_compile, 1),
     }
     out = pathlib.Path(__file__).resolve().parent.parent / args.out

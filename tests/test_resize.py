@@ -83,21 +83,3 @@ def test_scale_dimension_reference_rule():
     assert scale_dimension(1, 0.5) == 1
 
 
-def test_apply_interp_axis_matches_matrix():
-    """Slice-plan linear interp == the interp_matrix contraction, exactly."""
-    import jax.numpy as jnp
-    import numpy as np
-
-    from leastereo_tpu.ops.resize import apply_interp_axis, interp_matrix
-
-    rng = np.random.RandomState(0)
-    for n_in, n_out in [(128, 64), (416, 208), (64, 128), (208, 416), (64, 32), (34, 17), (17, 34), (68, 34)]:
-        for ac in (True, False):
-            x = jnp.asarray(rng.randn(2, n_in, 5, 3), jnp.float32)
-            got = apply_interp_axis(x, 1, n_out, ac)
-            if got is None:
-                continue
-            m = jnp.asarray(interp_matrix(n_in, n_out, ac), jnp.float32)
-            ref = jnp.tensordot(x, m, axes=[[1], [1]]).transpose(0, 3, 1, 2)
-            np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5,
-                                       err_msg=f"{n_in}->{n_out} ac={ac}")
