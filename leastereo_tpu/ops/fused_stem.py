@@ -107,27 +107,33 @@ def fused_cost_volume_stem(
     # ---- assembly ---------------------------------------------------------
     # Left half, vectorised over d via t-masks (fused selects, no gathers).
     # In packed mode the disparity index is per lane group: d = tile*g + l//f.
-    if pack_g is None:
-        d_idx = jnp.arange(num_disp).reshape(1, num_disp, 1, 1, 1)
-        out = jnp.zeros((b, num_disp, h, w, f), dtype=left.dtype)
-        tile_p = lambda x: x[:, None]  # (b, 1, h, w, f)
-    else:
-        g = pack_g
-        assert num_disp % g == 0, (num_disp, g)
-        lane_d = np.repeat(np.arange(g), f)  # (g*f,)
-        tiles = jnp.arange(num_disp // g).reshape(1, -1, 1, 1, 1)
-        d_idx = tiles * g + jnp.asarray(lane_d).reshape(1, 1, 1, 1, g * f)
-        out = jnp.zeros((b, num_disp // g, h, w, g * f), dtype=left.dtype)
-        tile_p = lambda x: jnp.tile(x, (1, 1, 1, g))[:, None]  # (b, 1, h, w, g*f)
-    w_idx = jnp.arange(w).reshape(1, 1, 1, w, 1)
-    for kd in range(3):
-        # valid kd: 0 <= d+kd-1 < num_disp
-        valid = (d_idx + kd - 1 >= 0) & (d_idx + kd - 1 < num_disp)
-        t = d_idx + kd - w_idx  # clamp(t,0,3): taps suppressed at this column
-        p0, p1, p2 = (tile_p(x) for x in p[kd])
-        zero = jnp.zeros((), dtype=left.dtype)
-        contrib = jnp.where(t <= 0, p0, jnp.where(t == 1, p1, jnp.where(t == 2, p2, zero)))
-        out = out + jnp.where(valid, contrib, zero)
+    # (Eval-mode packed assembly below replaces this select pass entirely —
+    # see _left_slices — so the select form is only built where it is used.)
+    def select_left_out():
+        if pack_g is None:
+            d_idx = jnp.arange(num_disp).reshape(1, num_disp, 1, 1, 1)
+            out = jnp.zeros((b, num_disp, h, w, f), dtype=left.dtype)
+            tile_p = lambda x: x[:, None]  # (b, 1, h, w, f)
+        else:
+            g = pack_g
+            lane_d = np.repeat(np.arange(g), f)  # (g*f,)
+            tiles = jnp.arange(num_disp // g).reshape(1, -1, 1, 1, 1)
+            d_idx = tiles * g + jnp.asarray(lane_d).reshape(1, 1, 1, 1, g * f)
+            out = jnp.zeros((b, num_disp // g, h, w, g * f), dtype=left.dtype)
+            tile_p = lambda x: jnp.tile(x, (1, 1, 1, g))[:, None]  # (b, 1, h, w, g*f)
+        w_idx = jnp.arange(w).reshape(1, 1, 1, w, 1)
+        for kd in range(3):
+            # valid kd: 0 <= d+kd-1 < num_disp
+            valid = (d_idx + kd - 1 >= 0) & (d_idx + kd - 1 < num_disp)
+            t = d_idx + kd - w_idx  # clamp(t,0,3): taps suppressed at this column
+            p0, p1, p2 = (tile_p(x) for x in p[kd])
+            zero = jnp.zeros((), dtype=left.dtype)
+            contrib = jnp.where(t <= 0, p0, jnp.where(t == 1, p1, jnp.where(t == 2, p2, zero)))
+            out = out + jnp.where(valid, contrib, zero)
+        return out
+
+    if pack_g is not None:
+        assert num_disp % pack_g == 0, (num_disp, pack_g)
 
     # Right half: static per-d shifted slices of CR (build_cost_volume-style
     # pad/slice, statically unrolled; XLA fuses into the output write).
@@ -166,25 +172,86 @@ def fused_cost_volume_stem(
         return jnp.maximum(res, 0) if relu else res
 
     if pack_g is None:
-        res = out + jnp.stack(r_slices, axis=1)
+        res = select_left_out() + jnp.stack(r_slices, axis=1)
         return epilogue(res, None if bias is None else bias.astype(left.dtype))
     if bias is None and not relu:
-        # No epilogue (train mode): keep the single stack+add form — the
-        # per-tile slicing below costs ~29 ms/step of slice_add fusions in
-        # the BACKWARD pass (gradient scatter through the per-tile slices,
-        # trace_train slice_add_fusion @59 GB/s).
+        # No epilogue (train mode): keep the single select+stack+add form —
+        # slice-based assembly costs ~29 ms/step of slice_add fusions in the
+        # BACKWARD pass (gradient scatter through the per-column slices,
+        # trace_train slice_add_fusion @59 GB/s), and the select masks
+        # differentiate as cheap elementwise selects instead.
         grouped = [
             jnp.concatenate(r_slices[t * pack_g : (t + 1) * pack_g], axis=-1)
             for t in range(num_disp // pack_g)
         ]
-        return out + jnp.stack(grouped, axis=1)
-    # Eval: per-tile epilogue — the bias/relu fuse into each tile's group
-    # assembly instead of a separate full-volume pass after the stack.
+        return select_left_out() + jnp.stack(grouped, axis=1)
+
+    # Eval (serving path): slice-based left assembly. The left contribution
+    # at output (d, w) depends only on the diagonal offset j = w - d:
+    #   j >= 2: base = P0[0]+P0[1]+P0[2]      (all taps in support)
+    #   j == 1: q1 = P0[0]+P0[1]+P1[2]
+    #   j == 0: q0 = P0[0]+P1[1]+P2[2]
+    #   j == -1: qm1 = P1[0]+P2[1]
+    #   j == -2: qm2 = P2[0]
+    #   j <= -3: zero                          (volume mask kills every tap)
+    # with the kd=0 / kd=2 terms dropped on the first / last depth plane
+    # (conv depth padding). Each depth row is then a static concat
+    # [zeros | qm2-col | qm1-col | q0-col | q1-col | base-tail] — no
+    # per-element select tree over the full volume (the select form measured
+    # 1.96 ms at 165 GB/s, trace_forward select_add_fusion; slices assemble
+    # at copy bandwidth and fuse into the per-tile epilogue).
+    # General d (all three kd valid):
+    base = p[0][0] + p[1][0] + p[2][0]
+    q1 = p[0][0] + p[1][0] + p[2][1]
+    q0 = p[0][0] + p[1][1] + p[2][2]
+    qm1 = p[0][1] + p[1][2]
+    qm2 = p[0][2]
+    # First plane (kd=0 dropped; columns j<0 don't exist at d=0):
+    base_first = p[1][0] + p[2][0]
+    q1_first = p[1][0] + p[2][1]
+    q0_first = p[1][1] + p[2][2]
+    # Last plane (kd=2 dropped):
+    base_last = p[0][0] + p[1][0]
+    q1_last = base_last
+    q0_last = p[0][0] + p[1][1]
+    qm1_last = qm1  # kd=2 contributes nothing at j=-1 anyway
+    qm2_last = qm2
+
+    def left_row(d):
+        if d == 0:
+            maps = {1: q1_first, 0: q0_first}
+            bb = base_first
+        elif d == num_disp - 1:
+            maps = {1: q1_last, 0: q0_last, -1: qm1_last, -2: qm2_last}
+            bb = base_last
+        else:
+            maps = {1: q1, 0: q0, -1: qm1, -2: qm2}
+            bb = base
+        parts = []
+        if d - 2 > 0:
+            parts.append(jnp.zeros((b, h, min(d - 2, w), f), dtype=left.dtype))
+        for j in (-2, -1, 0, 1):
+            col = d + j
+            if 0 <= col < w and j in maps:
+                parts.append(maps[j][:, :, col : col + 1, :])
+        if d + 2 < w:
+            parts.append(bb[:, :, d + 2 :, :])
+        row = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
+        assert row.shape == (b, h, w, f), (row.shape, d)
+        return row
+
+    # Per-tile epilogue — bias/relu fuse into each tile's group assembly
+    # instead of a separate full-volume pass after the stack.
     lane_bias = None if bias is None else jnp.tile(bias, pack_g).astype(left.dtype)
     grouped = [
         epilogue(
-            jax.lax.slice_in_dim(out, t, t + 1, axis=1)[:, 0]
-            + jnp.concatenate(r_slices[t * pack_g : (t + 1) * pack_g], axis=-1),
+            jnp.concatenate(
+                [
+                    left_row(t * pack_g + i) + r_slices[t * pack_g + i]
+                    for i in range(pack_g)
+                ],
+                axis=-1,
+            ),
             lane_bias,
         )
         for t in range(num_disp // pack_g)

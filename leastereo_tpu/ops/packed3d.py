@@ -137,12 +137,31 @@ def pack(x: jnp.ndarray, g: int) -> Packed:
 
 
 def take_lanes(x: jnp.ndarray, order, axis: int = -1) -> jnp.ndarray:
-    """``x[..., order, ...]`` along ``axis`` via static slices — TPU gathers
-    are slow; lane permutations are always run-structured here (concat maps),
-    so a concat of contiguous slices lowers to cheap copies."""
-    runs = _chan_runs(list(order))
+    """``x[..., order, ...]`` along ``axis`` — TPU gathers are slow, so lane
+    permutations lower to either a 0/1 permutation MATMUL (bf16 minor axis:
+    the MXU streams it at full HBM bandwidth, where the equivalent
+    slice-concat reads sub-lane-block strips at ~160 GB/s — measured 5x
+    slower in-model, trace_forward concatenate.2x) or a concat of contiguous
+    static slices (everything else; the maps here are run-structured)."""
+    order = list(order)
+    runs = _chan_runs(order)
     if len(runs) == 1 and runs[0] == (0, x.shape[axis]):
         return x
+    minor = axis == x.ndim - 1 or axis == -1
+    # Lane cap 1024: the one-hot dot wastes FLOPs linearly in lane count, but
+    # even the 1024-lane skip-fusion reorder (runs of 16) costs ~0.56 ms of
+    # MXU vs ~1.2 ms of 16-lane strided concats (trace_forward
+    # concatenate.22-29); beyond 1k lanes assume the slice path wins.
+    if minor and x.dtype == jnp.bfloat16 and len(order) <= 1024 and len(runs) > 1:
+        # One-hot is exact in bf16 and f32 accumulation reproduces the
+        # values bit-exactly (sum of a single product).
+        perm = np.zeros((x.shape[axis], len(order)), np.float32)
+        perm[order, np.arange(len(order))] = 1.0
+        return jax.lax.dot_general(
+            x,
+            jnp.asarray(perm, x.dtype),
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        )
     parts = [jax.lax.slice_in_dim(x, a, z, axis=axis) for a, z in runs]
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=axis)
 
@@ -466,6 +485,14 @@ def resize_packed(
     if mix_depth and d_in == d_out and h == h_out and w == w_out:
         return repack(p, g_out)  # pure layout change, no interpolation
     x = p.data
+    if mix_depth and d_out > d_in and not p.is_canonical():
+        # The upsample branch needs canonical lanes; reorder NOW while the
+        # lane axis is still minor so take_lanes uses its permutation-matmul
+        # path (post-contraction the lane axis sits mid-tensor and the
+        # reorder falls back to strided slice-concats at ~165 GB/s —
+        # trace_forward concatenate.2x).
+        x = take_lanes(x, _canonical_order(p), axis=-1)
+        p = Packed(x, g=p.g, channels=p.channels)
 
     # (Tried and rejected: an apply_interp_axis helper — 2-tap strided-slice
     # arithmetic with axes in place. Exact same math, but end-to-end it LOST

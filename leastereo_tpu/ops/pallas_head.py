@@ -70,8 +70,8 @@ def fused_head_gate_reason(
         return f"lanes g*C={g * channels} not a multiple of 128 (lane-block DMA)"
     if d > 128:
         return f"maxdisp/3={d} > 128 lanes (disparity must fit on lanes)"
-    if h % _TH != 0:
-        return f"1/3-res height {h} not a multiple of {_TH}"
+    if h % _TH != 0 or h < 2 * _TH:
+        return f"1/3-res height {h} not a multiple of {_TH} (>= {2 * _TH})"
     if w % 8 != 0:
         return f"1/3-res width {w} not a multiple of 8 (MXU window alignment)"
     if 2 * _band_bytes(d, w, channels, itemsize) > 56 * 1024 * 1024:
@@ -90,26 +90,69 @@ def fused_head_supported(
     return fused_head_gate_reason(b, d, h, w, channels, g, itemsize) is None
 
 
-def _head_kernel(x_hbm, m_ref, out_ref, band, shifted, sems, *, t_tiles, th, tw, d, hh, ww, l):
+def _head_kernel(
+    x_hbm, m_ref, out_ref, band, shifted, sems, *, t_tiles, th, tw, d, hh, ww, l
+):
     b = pl.program_id(0)
     i = pl.program_id(1)
+    nb = hh // th  # grid height (>= 2 by support gate)
     conv_w = tw + 8  # sublane-aligned conv width (tw % 8 == 0 by support gate)
 
-    for t in range(t_tiles):
-        pltpu.make_async_copy(
-            x_hbm.at[b, t, pl.ds(i * th, th + 4), :, :],
-            band.at[:, :, t * l : (t + 1) * l],
-            sems.at[t],
-        ).start()
-    for t in range(t_tiles):
-        pltpu.make_async_copy(
-            x_hbm.at[b, t, pl.ds(i * th, th + 4), :, :],
-            band.at[:, :, t * l : (t + 1) * l],
-            sems.at[t],
-        ).wait()
+    # DMA the (th+4)-row halo band straight from the UNPADDED volume — a
+    # host-side pad of the full volume costs ~0.7 ms of pure HBM copy at the
+    # KITTI shape (trace_forward pad.162). The 2-row H halos beyond the frame
+    # (conv zero padding) are zero-filled in VMEM for the first/last band;
+    # the 8-col W halos are zero-filled always. Data lands at band[:, 8:8+w].
+    band[:, 0:8, :] = jnp.zeros((th + 4, 8, band.shape[-1]), band.dtype)
+    band[:, 8 + tw :, :] = jnp.zeros(
+        (th + 4, band.shape[1] - 8 - tw, band.shape[-1]), band.dtype
+    )
 
-    # Cost band: local (a, c) covers global (i*th - 1 + a, c - 1); the padded
-    # input's zeros reproduce the conv's zero padding at frame borders.
+    @pl.when(i == 0)
+    def _():
+        band[0:2, 8 : 8 + tw, :] = jnp.zeros((2, tw, band.shape[-1]), band.dtype)
+
+    @pl.when(i == nb - 1)
+    def _():
+        band[th + 2 :, 8 : 8 + tw, :] = jnp.zeros((2, tw, band.shape[-1]), band.dtype)
+
+    def dma(t, method):
+        mid = jnp.logical_and(i > 0, i < nb - 1)
+
+        @pl.when(mid)
+        def _():
+            cp = pltpu.make_async_copy(
+                x_hbm.at[b, t, pl.ds(i * th - 2, th + 4), :, :],
+                band.at[:, pl.ds(8, tw), t * l : (t + 1) * l],
+                sems.at[t],
+            )
+            getattr(cp, method)()
+
+        @pl.when(i == 0)
+        def _():
+            cp = pltpu.make_async_copy(
+                x_hbm.at[b, t, pl.ds(0, th + 2), :, :],
+                band.at[pl.ds(2, th + 2), pl.ds(8, tw), t * l : (t + 1) * l],
+                sems.at[t],
+            )
+            getattr(cp, method)()
+
+        @pl.when(i == nb - 1)
+        def _():
+            cp = pltpu.make_async_copy(
+                x_hbm.at[b, t, pl.ds(i * th - 2, th + 2), :, :],
+                band.at[pl.ds(0, th + 2), pl.ds(8, tw), t * l : (t + 1) * l],
+                sems.at[t],
+            )
+            getattr(cp, method)()
+
+    for t in range(t_tiles):
+        dma(t, "start")
+    for t in range(t_tiles):
+        dma(t, "wait")
+
+    # Cost band: local (a, c) covers global (i*th - 1 + a, c - 1); the zeroed
+    # halo strips reproduce the conv's zero padding at frame borders.
     #
     # MXU operands must be sublane-aligned: a dot_general whose leading dims
     # flatten to a non-multiple-of-8 extent (e.g. the natural (th+2, tw+2)
@@ -118,6 +161,11 @@ def _head_kernel(x_hbm, m_ref, out_ref, band, shifted, sems, *, t_tiles, th, tw,
     # runs on an aligned (*, cw, D*C) window: the kw = 2 tap reads the band at
     # sublane offset 8 directly, the kw = 0/1 taps go through one aligned
     # VPU copy each, and the ragged (tw+2)-wide cost is sliced out afterwards.
+    #
+    # The three kh taps of one kw share the same operand window, so they run
+    # as ONE dot against the kh-blocked (D*C, 3D) matrix — 3 MXU launches
+    # with N = 3D instead of 9 with N = D (D = 64 fills half a lane tile;
+    # blocking raises MXU occupancy 1.5x). Block kh lands at lanes [kh*D).
     acc = jnp.zeros((th + 2, conv_w, d), jnp.float32)
     for kw in range(3):
         if kw == 2:
@@ -127,14 +175,18 @@ def _head_kernel(x_hbm, m_ref, out_ref, band, shifted, sems, *, t_tiles, th, tw,
             shifted[:, :, :] = band[:, 6 + kw : 6 + kw + conv_w, :]
             src = shifted
             off = 0
-        for kh in range(3):
-            xs = src[kh : kh + th + 2, off : off + conv_w, :]
-            acc = acc + jax.lax.dot_general(
-                xs,
-                m_ref[kh, kw],
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        out = jax.lax.dot_general(
+            src[:, off : off + conv_w, :],
+            m_ref[kw],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (th+4, conv_w, 3D): out[r, :, kh*D + j] = cost tap kh at row r-kh
+        acc = (
+            acc
+            + out[0 : th + 2, :, 0:d]
+            + out[1 : th + 3, :, d : 2 * d]
+            + out[2 : th + 4, :, 2 * d : 3 * d]
+        )
     acc = acc[:, : tw + 2, :]
 
     # Edge-replicate the cost halo (the upsample clamps at frame borders,
@@ -209,19 +261,17 @@ def conv_soft_argmin_pallas(
         raise ValueError(f"maxdisp {maxdisp} != 3 * D ({d})")
     th = _TH
     tw = w
-    assert h % th == 0, h
+    assert h % th == 0 and h >= 2 * th, h
 
-    # H padded 2/2 (conv zero padding; 3rd-minor axis needs no DMA alignment),
-    # W padded 8/8 (conv zero padding + sublane-aligned DMA offsets).
-    xp = jnp.pad(data, ((0, 0), (0, 0), (2, 2), (8, 8), (0, 0)))
-
-    # Band matrix M[(d_in, c), d_out] = K[d_in - d_out + 1, kh, kw, c].
+    # Band matrix M[(d_in, c), d_out] = K[d_in - d_out + 1, kh, kw, c],
+    # kh-blocked for the grouped conv dots: m2[kw][:, kh*D + j] = M[kh, kw, :, j].
     m = None
     for kd in range(3):
         bandm = jnp.asarray(np.eye(d, k=1 - kd, dtype=np.float32), kernel.dtype)
         term = bandm[None, None, :, None, :] * kernel[kd, :, :, None, :, 0, None]
         m = term if m is None else m + term  # (3, 3, d, C, d)
     m = m.reshape(3, 3, d * c, d)
+    m2 = jnp.concatenate([m[0], m[1], m[2]], axis=-1)  # (3=kw, D*C, 3D)
 
     kern = functools.partial(_head_kernel, t_tiles=dg, th=th, tw=tw, d=d, hh=h, ww=w, l=li)
     phases = pl.pallas_call(
@@ -229,7 +279,7 @@ def conv_soft_argmin_pallas(
         grid=(b, h // th),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((3, 3, d * c, d), lambda bb, ii: (0, 0, 0, 0)),
+            pl.BlockSpec((3, d * c, 3 * d), lambda bb, ii: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, 3, 3, th, tw), lambda bb, ii: (bb, 0, 0, ii, 0)
@@ -242,7 +292,7 @@ def conv_soft_argmin_pallas(
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
-    )(xp, m)
+    )(data, m2)
     out = jnp.transpose(phases, (0, 3, 1, 4, 2))
     return out.reshape(b, 3 * h, 3 * w)
 

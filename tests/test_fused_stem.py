@@ -85,6 +85,39 @@ def test_fused_stem_matches_reference_path(b, h, w, c, f, num_disp):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.quick
+@pytest.mark.parametrize(
+    "b,h,w,c,f,num_disp,g",
+    [
+        (1, 8, 12, 4, 6, 8, 4),   # generic: interior + both edge planes
+        (1, 6, 9, 3, 4, 9, 3),    # num_disp == w: diagonal reaches full width
+        (2, 5, 16, 2, 3, 4, 2),
+        (1, 4, 7, 2, 2, 6, 6),    # one tile holds every depth plane
+        (1, 4, 6, 2, 2, 2, 2),    # only the two edge planes exist
+    ],
+)
+def test_fused_stem_packed_epilogue_matches(b, h, w, c, f, num_disp, g):
+    """The eval-mode slice-based packed assembly (bias+relu epilogue) ==
+    relu(conv3d(volume) + bias), packed. Covers the per-diagonal left maps
+    (base/q1/q0/qm1/qm2 + first/last-plane variants) that replace the
+    select-tree assembly on the serving path."""
+    from leastereo_tpu.ops.packed3d import Packed, unpack
+
+    rng = np.random.RandomState(4)
+    left = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+    right = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+    kernel = jnp.asarray(rng.randn(3, 3, 3, 2 * c, f), jnp.float32)
+    bias = jnp.asarray(rng.randn(f), jnp.float32)
+
+    ref = _conv3d_ref(build_cost_volume(left, right, num_disp), kernel)
+    ref = jnp.maximum(ref + bias, 0.0)
+    got = fused_cost_volume_stem(
+        left, right, kernel, num_disp, pack_g=g, bias=bias, relu=True
+    )
+    got = unpack(Packed(got, g=g, channels=f))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
 def test_fused_stem_grads_flow():
     rng = np.random.RandomState(3)
     left = jnp.asarray(rng.randn(1, 5, 8, 3), jnp.float32)

@@ -24,7 +24,7 @@ from leastereo_tpu.ops.packed3d import pack
     [
         # (b, d, h, w, c, g) with g*c = 128
         (1, 8, 16, 24, 32, 4),
-        (2, 16, 8, 16, 16, 8),
+        (2, 16, 16, 16, 16, 8),
         (1, 16, 24, 48, 32, 4),
     ],
 )
