@@ -61,14 +61,18 @@ def peak_hbm_gb(compiled) -> float | None:
         return None
     if m is None:
         return None
-    total = (
-        m.argument_size_in_bytes
-        + m.output_size_in_bytes
-        - m.alias_size_in_bytes
-        + m.temp_size_in_bytes
-        + m.generated_code_size_in_bytes
-    )
-    return round(total / 1e9, 3)
+    peak = getattr(m, "peak_memory_in_bytes", 0)
+    if not peak:
+        # Older jaxlibs: upper-bound by the component sum (can exceed the
+        # true peak — buffer lifetimes overlap less than the sum implies).
+        peak = (
+            m.argument_size_in_bytes
+            + m.output_size_in_bytes
+            - m.alias_size_in_bytes
+            + m.temp_size_in_bytes
+            + m.generated_code_size_in_bytes
+        )
+    return round(peak / 1e9, 3)
 
 
 def device_peak_hbm_gb() -> float | None:

@@ -47,10 +47,18 @@ def main():
 
     xplanes = glob.glob(f"{out}/**/*.xplane.pb", recursive=True)
     print("xplane files:", xplanes, flush=True)
-    report(xplanes)
+    report(
+        xplanes,
+        out_json=sys.argv[2] if len(sys.argv) > 2 else None,
+        meta={
+            "shape": {"h": h, "w": w, "maxdisp": maxdisp},
+            "device": str(jax.devices()[0]),
+            "what": "per-HLO-op device-time attribution of the shipped KITTI forward",
+        },
+    )
 
 
-def report(xplanes, top=45):
+def report(xplanes, top=45, iters=6, out_json=None, meta=None):
     import re
 
     from xprof.convert import raw_to_tool_data
@@ -78,7 +86,8 @@ def report(xplanes, top=45):
         rows.append(v)
     total = sum(float(r[i_ts] or 0) for r in rows)
     rows.sort(key=lambda r: -float(r[i_ts] or 0))
-    print(f"total device self-time: {total:.0f} us over trace ({total/6:.0f} us/forward)")
+    print(f"total device self-time: {total:.0f} us over trace ({total/iters:.0f} us/iter)")
+    top_rows = []
     for r in rows[:top]:
         src = re.sub(r"<[^>]*>", "", str(r[i_src] or ""))
         src = ";".join(
@@ -88,11 +97,30 @@ def report(xplanes, top=45):
         )[:100]
         frames = str(r[i_name] or "")
         print(
-            f"{float(r[i_ts] or 0)/6:9.1f}us x{float(r[i_occ] or 0)/6:4.1f} "
+            f"{float(r[i_ts] or 0)/iters:9.1f}us x{float(r[i_occ] or 0)/iters:4.1f} "
             f"{float(r[i_ts] or 0)/total*100:4.1f}% {str(r[i_cat])[:24]:24s} "
             f"{str(r[i_bound])[:4]:4s} bw={float(r[i_bw] or 0):6.1f} fl={float(r[i_fr] or 0):7.0f} "
             f"{frames[:22]:22s} {src}"
         )
+        top_rows.append(
+            {
+                "us_per_iter": round(float(r[i_ts] or 0) / iters, 1),
+                "pct": round(float(r[i_ts] or 0) / total * 100, 2),
+                "category": str(r[i_cat]),
+                "bound_by": str(r[i_bound]),
+                "bw_gbps": round(float(r[i_bw] or 0), 1),
+                "gflops_per_s": round(float(r[i_fr] or 0), 0),
+                "op": frames[:48],
+                "source": src,
+            }
+        )
+    if out_json:
+        out = dict(meta or {})
+        out["device_us_per_iter"] = round(total / iters, 1)
+        out["top_ops"] = top_rows
+        pathlib.Path(out_json).write_text(json.dumps(out, indent=1))
+        print(f"wrote {out_json}")
+    return total / iters
 
 
 if __name__ == "__main__":

@@ -57,7 +57,19 @@ def main():
     g = runpy.run_path(str(pathlib.Path(__file__).with_name("trace_forward.py")), run_name="lib")
     xplanes = glob.glob(f"{out}/**/*.xplane.pb", recursive=True)
     print("xplane files:", xplanes, flush=True)
-    g["report"](xplanes, top=35)
+    out_json = sys.argv[2] if len(sys.argv) > 2 else None
+    g["report"](
+        xplanes,
+        top=35,
+        iters=3,
+        out_json=out_json,
+        meta={
+            "config": {"crop": [h, w], "batch": b, "maxdisp": 192, "solver": "adam",
+                       "reference": "train_sf.sh:7-9 (SceneFlow retrain config)"},
+            "device": str(jax.devices()[0]),
+            "what": "per-HLO-op device-time attribution of one training step",
+        },
+    )
 
 
 if __name__ == "__main__":
