@@ -13,11 +13,14 @@ pathology, see PROFILE_r04.json / the round-4 commit log).
 
 The kernel owns the whole head instead:
 
-  * each grid program DMAs a ``(th+4, tw+16, D*C)`` halo band of the packed
-    volume — one lane-block DMA per depth tile, so the flattened lane axis is
-    exactly ``(d, c)`` and the "transpose" happens inside the DMA for free;
-  * the 1-channel 3x3x3 conv collapses to 9 MXU contractions against a
-    ``(D*C, D)`` band matrix (``M[(d_in, c), d_out] = K[d_in-d_out+1, ...]``),
+  * each grid program DMAs a ``(th+4, tw+16, D*C)`` halo band straight from
+    the UNPADDED packed volume (clamped 3-branch DMA; the H/W conv zero
+    padding is zero-filled in VMEM) — one lane-block DMA per depth tile, so
+    the flattened lane axis is exactly ``(d, c)`` and the "transpose"
+    happens inside the DMA for free;
+  * the 1-channel 3x3x3 conv collapses to 3 MXU contractions (one per kw)
+    against a kh-blocked ``(D*C, 3D)`` band matrix
+    (``M2[kw][(d_in, c), kh*D + d_out] = K[d_in-d_out+1, kh, kw, c]``),
     producing the cost band ``(th+2, tw+2, D)`` in VMEM with disparity on
     lanes;
   * the trilinear 3x upsample + softmin + expectation then runs per output
