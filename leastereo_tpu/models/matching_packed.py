@@ -125,6 +125,14 @@ class PackedConvBR(nn.Module):
             kernel = kernel * w_c  # fp32 fold over the tiny kernel
         kernel = kernel.astype(self.dtype)
         if ks == (3, 3, 3):
+            # (A Pallas banded-conv kernel replacing the XLA form — in-VMEM
+            # halo assembly, exact-lane contraction, fused epilogue — was
+            # built and validated in r5, but LOST to XLA's conv everywhere
+            # (stem1 6.5 vs 4.7 ms, L1 cell 0.45 vs 0.21, skip 3.2 vs 1.6):
+            # without cross-program DMA pipelining the serial band loads
+            # dominate, and XLA's banded conv already runs the MXU at ~peak
+            # for this formulation. Details in the r5 commit
+            # "Evaluate and reject a Pallas banded-conv kernel".)
             y = conv3x3_packed(p, kernel)
         elif ks == (1, 1, 1):
             y = conv1x1_packed(p, kernel.reshape(p.channels, self.features))
