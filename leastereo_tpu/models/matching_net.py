@@ -7,6 +7,11 @@ with two long skip concats (``out4_cat = conv1(cat(out1, out4))`` feeding
 cell 5, ``out8_cat = conv2(cat(out4, out8))`` feeding cell 9) — and a
 level-dependent trilinear-upsample head producing the 1-channel matching
 cost at the volume's native resolution.
+
+``skips=()`` yields the reference's legacy non-skip matching net
+(``retrain/new_model_3d.py:77-159`` ``newMatching``), whose only difference
+from the skip net is the absence of the two ``conv1``/``conv2`` fusions;
+oracle-verified in ``tests/test_reference_parity.py::test_legacy_matching_parity``.
 """
 
 from __future__ import annotations

@@ -177,3 +177,66 @@ def test_gradient_parity(oracle):
     worst = max(rels, key=rels.get)
     assert np.median(list(rels.values())) < 5e-2, "median grad mismatch above noise floor"
     assert rels[worst] < 1.5e-1, f"worst grad mismatch {worst}: rel L2 {rels[worst]:.3e}"
+
+
+@requires_reference
+def test_legacy_matching_parity(oracle):
+    """``MatchingNet(skips=())`` IS the reference's legacy non-skip matching
+    net (``retrain/new_model_3d.py:77-159`` — ``newMatching`` without the
+    ``conv1``/``conv2`` long-skip fusions of ``skip_model_3d.py:150-156``).
+    Oracle check: same random volume + imported weights → same cost."""
+    import torch
+
+    sys.path.insert(0, str(REFERENCE))
+    from models.decoding_formulas import network_layer_to_space
+    from retrain.new_model_3d import newMatching as LegacyMatching
+
+    args = _reference_args()
+    net_path = np.load(args.net_arch_mat)
+    cell_arch = np.load(args.cell_arch_mat)
+
+    torch.manual_seed(1)
+    ref = LegacyMatching(network_layer_to_space(net_path), cell_arch, args=args)
+
+    d, h, w = MAXDISP // 3, H // 3, W // 3
+    ifm = args.mat_filter_multiplier * args.mat_block_multiplier
+    rng = np.random.RandomState(3)
+    vol = rng.randn(1, 2 * ifm, d, h, w).astype(np.float32)
+
+    # Same BN-stat realisation trick as the full-model oracle fixture.
+    for m in ref.modules():
+        if isinstance(m, torch.nn.modules.batchnorm._BatchNorm):
+            m.momentum = 1.0
+    ref.train()
+    with torch.no_grad():
+        ref(torch.from_numpy(vol))
+    ref.eval()
+    with torch.no_grad():
+        want = ref(torch.from_numpy(vol)).numpy()  # (B, 1, D, H, W)
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    import jax
+    import jax.numpy as jnp
+
+    from leastereo_tpu.models.genotypes import load_architecture
+    from leastereo_tpu.models.matching_net import MatchingNet
+    from leastereo_tpu.utils.torch_convert import import_torch_state_dict
+
+    genotype = load_architecture(args.net_arch_mat, args.cell_arch_mat)
+    model = MatchingNet(
+        genotype=genotype,
+        filter_multiplier=args.mat_filter_multiplier,
+        block_multiplier=args.mat_block_multiplier,
+        steps=args.mat_step,
+        skips=(),  # <- the legacy topology
+        dtype=jnp.float32,
+    )
+    jvol = jnp.asarray(vol.transpose(0, 2, 3, 4, 1))  # NCDHW -> NDHWC
+    variables = model.init(jax.random.PRNGKey(0), jvol)
+    assert not any(
+        k.startswith("skip_conv") for k in variables["params"]
+    ), "legacy topology must create no skip-fusion parameters"
+    variables = import_torch_state_dict(variables, state)
+
+    got = np.asarray(model.apply(variables, jvol))  # (B, D, H, W, 1)
+    np.testing.assert_allclose(got[..., 0], want[:, 0], rtol=2e-3, atol=2e-3)
