@@ -7,4 +7,5 @@ Driver map (reference -> here):
   predict.py    -> leastereo_tpu.cli.predict
   evaluation.py -> leastereo_tpu.cli.evaluate
   make_onnx.py  -> leastereo_tpu.cli.export (StableHLO / SavedModel)
+  (.pth import) -> leastereo_tpu.cli.convert (reference checkpoint -> orbax)
 """

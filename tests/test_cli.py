@@ -242,3 +242,54 @@ def test_search_and_decode_drivers(workspace):
         assert (arch_dir / f).exists()
     path = np.load(arch_dir / "feature_network_path.npy")
     assert len(path) == 3 and path[0] in (0, 1)
+
+
+def test_convert_driver_roundtrip(workspace, tmp_path):
+    """``cli.convert`` turns a reference-layout ``.pth`` (dict with
+    ``state_dict``, ``module.``-prefixed keys, torch OIHW/OIDHW tensors —
+    reference ``utils/early_stopping.py:44-52`` / ``predict.py:55-65``) into
+    an orbax checkpoint that ``restore_checkpoint`` loads verbatim."""
+    import flax
+    import jax
+    import torch
+
+    from leastereo_tpu.cli.common import build_model
+    from leastereo_tpu.cli.config import add_model_args
+    from leastereo_tpu.cli.convert import main as convert_main
+    from leastereo_tpu.utils import restore_checkpoint
+    from leastereo_tpu.utils.torch_convert import _leaf_name, _torch_name
+
+    root, _, _ = workspace
+    import argparse
+
+    p = argparse.ArgumentParser()
+    add_model_args(p)
+    args = p.parse_args(_model_args(root))
+    model = build_model(args)
+    sample = np.zeros((1, 48, 96, 3), np.float32)
+    variables = model.init(jax.random.PRNGKey(7), sample, sample)
+
+    # Emit the torch-side twin of this variable tree (inverse layout map).
+    state_dict = {}
+    for path, value in flax.traverse_util.flatten_dict(variables).items():
+        collection, *mods, leaf = path
+        name = _torch_name(tuple(mods[:-1])) + "." + _leaf_name(collection, mods[-1], leaf)
+        a = np.asarray(value, np.float32)
+        if name.endswith("conv.weight"):
+            a = a.transpose(3, 2, 0, 1) if a.ndim == 4 else a.transpose(4, 3, 0, 1, 2)
+        state_dict["module." + name] = torch.from_numpy(a)
+    pth = tmp_path / "best_epoch_1.pth"
+    torch.save({"epoch": 1, "state_dict": state_dict}, pth)
+
+    out = tmp_path / "imported"
+    rc = convert_main(
+        _model_args(root) + ["--torch_checkpoint", str(pth), "--out", str(out)]
+    )
+    assert rc == 0
+
+    template = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    got = restore_checkpoint(str(out), template)
+    for path, want in flax.traverse_util.flatten_dict(template).items():
+        np.testing.assert_array_equal(
+            np.asarray(flax.traverse_util.flatten_dict(got)[path]), np.asarray(want)
+        )
