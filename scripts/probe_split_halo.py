@@ -8,9 +8,12 @@ to the ext-assembly copies at packed3d.py:331 (copy.41362 1.2 ms at
 zero-waste is unchanged; only the layout copy is at stake.
 
 RESULT (TPU v5e, stem1 shape b1 d64 h128 w416 c32 g4): REJECTED.
-shipped ext-concat 0.103 ms vs split-halo 5.474 ms — the two 32-lane halo
-convs hit a ~50x-worse XLA lowering (narrow-cin convs don't tile the MXU),
-dwarfing the concat copy they were meant to save. The ext-concat form stays.
+Measured three ways (the naive run below is noisy — warm every loop-length
+executable and use a full-sum witness; a first-element witness lets XLA
+elide work): shipped ext-concat 1.06 ms (first-elem) / 5.12 ms (full-sum,
+witness reduce included) vs split-halo 5.42 ms (full-sum, same witness) —
+the three narrow-cin convs cost more than the concat copy they save, on
+top of losing the single-conv fusion. The ext-concat form stays.
 """
 
 import pathlib
@@ -99,12 +102,39 @@ def main():
     err = float(jnp.max(jnp.abs(a.astype(jnp.float32) - bb.astype(jnp.float32))))
     print(f"max |shipped - split| = {err:.3e}")
 
+    import time
+
+    def bench(fn):
+        """Full-sum witness (first-element witnesses let XLA elide work) with
+        both loop-length executables warmed; median of 3 delta timings."""
+
+        @jax.jit
+        def run(n, x0, kk):
+            def body(_, carry):
+                acc, xx = carry
+                out = fn(Packed(xx + acc * jnp.asarray(1e-30, xx.dtype), 4, c), kk).data
+                return (jnp.sum(out.astype(jnp.float32)) * 1e-30).astype(xx.dtype), xx
+
+            acc, _ = jax.lax.fori_loop(0, n, body, (jnp.asarray(0, x0.dtype), x0))
+            return acc
+
+        for n in (4, 12):
+            np.asarray(run(jnp.int32(n), p4.data, k))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(run(jnp.int32(4), p4.data, k))
+            t1 = time.perf_counter()
+            np.asarray(run(jnp.int32(12), p4.data, k))
+            t2 = time.perf_counter()
+            ts.append(((t2 - t1) - (t1 - t0)) / 8)
+        return sorted(ts)[1]
+
     for name, fn in (
         ("shipped ext-concat banded", conv3x3_packed),
         ("split-halo 3-conv", conv3x3_packed_split),
     ):
-        t = device_time(lambda y, kk: fn(Packed(y, 4, c), kk).data, p4.data, k)
-        print(f"{name:32s} {t * 1e3:8.3f} ms", flush=True)
+        print(f"{name:32s} {bench(fn) * 1e3:8.3f} ms", flush=True)
 
 
 if __name__ == "__main__":
