@@ -4,6 +4,12 @@ Times individual op variants on the real chip with the chained-fori_loop
 method (same as scripts/profile_forward.py — cancels tunnel dispatch
 overhead). Used to attribute and attack the stem1/head costs seen in
 PROFILE_r04.json; findings land in commit messages, not an artifact.
+
+CAVEAT (r5): this harness keeps only the first output element per iteration,
+which lets XLA elide part of the op under test, and does not warm every
+loop-length executable — its absolute numbers can read low. Comparisons are
+still like-for-like. probe_split_halo.py carries the corrected methodology
+(full-sum witness + warmup); the end-to-end bench.py is the ground truth.
 """
 
 import pathlib

@@ -29,8 +29,6 @@ import leastereo_tpu
 
 leastereo_tpu.setup_compilation_cache()
 
-from probe_conv import device_time  # noqa: E402  (same dir)
-
 from leastereo_tpu.ops.packed3d import (  # noqa: E402
     Packed,
     _plane_runs,
