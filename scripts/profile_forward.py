@@ -50,6 +50,14 @@ def device_time(fn, *args, n1=N1, n2=N2):
     fn's first arg gets a carry-dependent perturbation each iteration so the
     loop body cannot be hoisted/CSE'd; remaining args are closed over. The
     trip count is dynamic: one compile, two timed runs.
+
+    The witness is a full reduction of the stage output: a first-element
+    witness (used before r5) let XLA elide part of the final ops of the
+    measured prefix, under-reporting FULL_model by ~15% vs the HLO trace's
+    device-time total (45.9 vs 53.5 ms). The witness reduce itself is timed
+    too — deltas between prefixes still isolate stages, since consecutive
+    prefixes carry same-shaped reduces (exactly equal only when consecutive
+    stage outputs match in shape).
     """
 
     @jax.jit
@@ -58,21 +66,26 @@ def device_time(fn, *args, n1=N1, n2=N2):
             a, x = carry
             out = fn(x + a * jnp.asarray(1e-30, x.dtype), *rest)
             leaf = jax.tree.leaves(out)[0]
-            return leaf.ravel()[0].astype(x.dtype), x
+            return (jnp.sum(leaf.astype(jnp.float32)) * 1e-30).astype(x.dtype), x
 
         a, _ = jax.lax.fori_loop(0, n, body, (jnp.asarray(0, x0.dtype), x0))
         return a
 
-    run(jnp.int32(1), args[0], args[1:]).block_until_ready()  # compile
+    for n in (1, n1, n2):  # compile + warm the executable on both timed paths
+        run(jnp.int32(n), args[0], args[1:]).block_until_ready()
 
     def timed(n):
         t0 = time.perf_counter()
         np.asarray(run(jnp.int32(n), args[0], args[1:]))
         return time.perf_counter() - t0
 
-    t1 = timed(n1)
-    t2 = timed(n2)
-    return (t2 - t1) / (n2 - n1)
+    # Median of 3 (t2-t1) deltas rides out tunnel-RPC jitter.
+    deltas = []
+    for _ in range(3):
+        t1 = timed(n1)
+        t2 = timed(n2)
+        deltas.append((t2 - t1) / (n2 - n1))
+    return sorted(deltas)[1]
 
 
 def main():
