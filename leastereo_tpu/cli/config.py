@@ -24,6 +24,7 @@ __all__ = [
 DATASETS = [
     "sceneflow",
     "kitti15",
+    "kitti15_part",
     "kitti12",
     "middlebury",
     "sceneflow_part",

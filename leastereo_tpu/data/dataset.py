@@ -21,6 +21,7 @@ __all__ = ["ListSet", "StereoSample", "StereoListDataset", "default_root"]
 _DEFAULT_ROOTS = {
     "sceneflow": "dataset/sceneflow/",
     "kitti15": "dataset/kitti2015/training/",
+    "kitti15_part": "dataset/kitti15_part/",
     "kitti12": "dataset/kitti2012/training/",
     "middlebury": "dataset/MiddEval3/trainingH/",
     "sceneflow_part": "dataset/sceneflow_part/",

@@ -27,7 +27,11 @@ import numpy as np
 
 from .pfm import write_pfm
 
-__all__ = ["render_stereo_scene", "generate_demo_dataset"]
+__all__ = [
+    "render_stereo_scene",
+    "generate_demo_dataset",
+    "generate_kitti_demo_dataset",
+]
 
 
 def _smooth_noise(rng: np.random.Generator, h: int, w: int, scales=(8, 32, 128)) -> np.ndarray:
@@ -143,4 +147,62 @@ def generate_demo_dataset(
         write_pfm(os.path.join(root, "disparity", scene, "left", f"{name}.pfm"), dl)
         write_pfm(os.path.join(root, "disparity", scene, "right", f"{name}.pfm"), dr)
         entries.append(f"frames_finalpass/{scene}/left/{name}.png")
+    return entries
+
+
+def sparsify_disparity(disp: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Lidar-like sparse ground truth from a dense disparity map.
+
+    KITTI's ``disp_occ_0`` maps are semi-dense Velodyne accumulations: density
+    ramps from near-zero at the top of the frame to ~60% at the bottom, with
+    whole scan rows absent. Model that shape: a per-pixel Bernoulli keep with
+    a bottom-heavy ramp, every third row dropped entirely (scan-line gaps),
+    and the result quantised to the uint16 ``round(d * 256)`` wire format with
+    0 = invalid (reference dataset semantics; see ``load_kitti2015``).
+    """
+    h, w = disp.shape
+    ramp = 0.08 + 0.6 * (np.arange(h, dtype=np.float32)[:, None] / h) ** 1.5
+    keep = rng.random((h, w)) < ramp
+    keep &= (np.arange(h) % 3 != 0)[:, None]  # missing scan lines
+    keep &= disp > 0
+    return np.round(disp * 256.0).astype(np.uint16) * keep.astype(np.uint16)
+
+
+def generate_kitti_demo_dataset(
+    root: str = "dataset/kitti15_part",
+    num_pairs: int = 5,
+    height: int = 324,
+    width: int = 576,
+    max_disp: int = 64,
+    seed: int = 7,
+) -> list[str]:
+    """Write a KITTI-2015-layout bundled smoke dataset; returns list entries.
+
+    Same synthetic scene renderer as :func:`generate_demo_dataset`, emitted in
+    the KITTI 2015 ``training/`` layout consumed by ``load_kitti2015``
+    (reference fine-tune recipe ``train_kitti15.sh:1-18``):
+
+        <root>/image_2/<frame>_10.png     left
+        <root>/image_3/<frame>_10.png     right
+        <root>/disp_occ_0/<frame>_10.png  uint16 disp*256, 0 = invalid
+
+    with the dense ground truth sparsified to lidar-like density so the
+    sparse-GT masked-loss path (``validity_mask``) is exercised for real.
+    """
+    from PIL import Image
+
+    for sub in ("image_2", "image_3", "disp_occ_0"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    entries = []
+    rng = np.random.default_rng(seed)
+    for i in range(num_pairs):
+        name = f"{i:06d}_10.png"
+        left, right, dl, _ = render_stereo_scene(
+            seed * 1000 + i, height, width, max_disp
+        )
+        Image.fromarray(left).save(os.path.join(root, "image_2", name))
+        Image.fromarray(right).save(os.path.join(root, "image_3", name))
+        sparse = sparsify_disparity(dl, rng)
+        Image.fromarray(sparse).save(os.path.join(root, "disp_occ_0", name))
+        entries.append(f"image_2/{name}")
     return entries

@@ -209,6 +209,7 @@ def load_middlebury(root: str, rel: str) -> np.ndarray:
 LOADERS = {
     "sceneflow": load_sceneflow,
     "kitti15": load_kitti2015,
+    "kitti15_part": load_kitti2015,
     "kitti12": load_kitti2012,
     "middlebury": load_middlebury,
     "sceneflow_part": load_sceneflow,

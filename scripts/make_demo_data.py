@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-from leastereo_tpu.data.demo import generate_demo_dataset
+from leastereo_tpu.data.demo import generate_demo_dataset, generate_kitti_demo_dataset
 
 
 def main():
@@ -31,6 +31,23 @@ def main():
         with open(os.path.join(lists_dir, fn), "w") as f:
             f.write("\n".join(lines) + "\n")
     print(f"wrote {len(entries)} pairs to dataset/sceneflow_part + lists to {lists_dir}")
+
+    # KITTI-2015-layout twin (sparse lidar-like GT) for the fine-tune smoke
+    # (reference recipe train_kitti15.sh).
+    kitti = generate_kitti_demo_dataset("dataset/kitti15_part", num_pairs=5)
+    kdir = "dataloaders/lists/kitti15_part"
+    os.makedirs(kdir, exist_ok=True)
+    ksplits = {
+        "search_weights.list": kitti[0:2],
+        "search_arch.list": kitti[2:4],
+        "train.list": kitti[0:4],
+        "val.list": kitti[4:5],
+        "test.list": kitti[4:5],
+    }
+    for fn, lines in ksplits.items():
+        with open(os.path.join(kdir, fn), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    print(f"wrote {len(kitti)} pairs to dataset/kitti15_part + lists to {kdir}")
 
 
 if __name__ == "__main__":

@@ -385,3 +385,43 @@ def test_native_loader_matches_python(tmp_path):
     )
     assert native.shape == want.shape
     np.testing.assert_allclose(native, want, rtol=1e-4, atol=1e-4)
+
+
+def test_kitti_demo_dataset_roundtrip(tmp_path):
+    """The KITTI-2015-layout demo bundle is consumed by load_kitti2015 and
+    exercises the sparse-GT masked-loss path: GT density is lidar-like
+    (bottom-heavy, scan gaps) and valid pixels match the dense render to
+    uint16/256 quantisation."""
+    from leastereo_tpu.data.demo import generate_kitti_demo_dataset, render_stereo_scene
+    from leastereo_tpu.data.loaders import load_kitti2015
+    from leastereo_tpu.train.losses import validity_mask
+
+    entries = generate_kitti_demo_dataset(str(tmp_path), num_pairs=2, height=96, width=160, seed=7)
+    assert entries == ["image_2/000000_10.png", "image_2/000001_10.png"]
+
+    stack = load_kitti2015(str(tmp_path), entries[0])
+    assert stack.shape == (8, 96, 160)
+    sparse = stack[6]
+    valid = np.asarray(validity_mask(sparse, maxdisp=192))
+    density = valid.mean()
+    assert 0.05 < density < 0.5, density  # sparse, not dense, not empty
+    # Bottom third denser than top third (lidar ramp).
+    assert valid[64:].mean() > 2 * valid[:32].mean()
+    # Valid pixels agree with the dense render to wire-format quantisation.
+    _, _, dense, _ = render_stereo_scene(7000, 96, 160, 64)
+    np.testing.assert_allclose(sparse[valid], dense[valid], atol=1 / 256.0)
+    # Invalid pixels are exactly zero (excluded by the mask, not garbage).
+    assert np.all(sparse[~valid] == 0)
+
+
+def test_dataset_registries_consistent():
+    """The CLI --dataset choices, the loader registry, and the default-root
+    table stay in sync (a kitti15_part-style addition must touch all three)."""
+    from leastereo_tpu.cli.config import DATASETS
+    from leastereo_tpu.data.dataset import _DEFAULT_ROOTS
+    from leastereo_tpu.data.loaders import LOADERS
+
+    assert set(DATASETS) == set(LOADERS)
+    # Every CLI-selectable dataset has a default root except those that always
+    # need an explicit --data_root (only the legacy SceneFlow layout today).
+    assert set(_DEFAULT_ROOTS) == set(LOADERS) - {"sceneflow_legacy"}
